@@ -1,0 +1,53 @@
+"""Stage 2 — OpenIE-style triple extraction.
+
+flatMap-shaped ``mapInPandas`` (one input page -> many triple rows)
+applying TRIPLE SPEC v1 (clip_retrieval_spark.functions.text).
+The reference has no UDTF; its nearest shape is the batched mapper whose
+output batch length differs from input (dropped rows,
+reference clip_inference/reader.py:187-189) — here we emit MORE rows
+instead of fewer, the Spark-native explode pattern.
+
+Narrow (no shuffle). Output keyed by (url, sent_id, spans) — fully
+deterministic given the input row, so stage reruns are idempotent.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from clip_retrieval_spark.functions.text import extract_triples
+
+TRIPLES_FIELDS = (
+    "url string, sent_id int, subj string, pred string, obj string, "
+    "subj_span array<int>, obj_span array<int>"
+)
+
+
+def extract_triples_df(extracted: DataFrame) -> DataFrame:
+    """(url, text, ...) -> triples(url, sent_id, subj, pred, obj, spans)."""
+
+    def _triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for (sid, subj, pred, obj, s1, e1, s2, e2) in extract_triples(
+                    text or ""
+                ):
+                    rows.append(
+                        (url, sid, subj, pred, obj, [s1, e1], [s2, e2])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "sent_id", "subj", "pred", "obj",
+                    "subj_span", "obj_span",
+                ],
+            )
+
+    return extracted.select("url", "text").mapInPandas(
+        _triples, schema=TRIPLES_FIELDS
+    )

@@ -1,0 +1,79 @@
+"""Stage 3c — entity linking: candidate blocking + broadcast top-k cosine.
+
+The Spark restatement of the reference's knn query path
+(reference clip_back.py:343-417: index.search -> trim -> dedup -> top-k
+-> metadata join), run for every mention in the corpus at once instead
+of one HTTP request at a time (clip_back.py:472-507).
+
+Two physical strategies, same semantics:
+
+* ``broadcast`` (entity table fits in executors — the "small index"
+  case): block on shared LSH band keys but hint ``F.broadcast`` on the
+  entity side, so the candidate join is a broadcast-hash join with NO
+  shuffle of the big mention table.
+* shuffle bucket join (entity table large): plain equi-join on
+  (band, sig); AQE handles skewed buckets.
+
+Top-k uses a total order (score DESC, entity_id ASC) — faiss breaks ties
+by internal order (clip_back.py:362), which is non-deterministic for us,
+so the order is pinned (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clip_retrieval_spark.functions.vectors import dot
+from clip_retrieval_spark.operators.lsh import lsh_explode
+
+LINKS_COLUMNS = ("mention_id", "entity_id", "score", "rank")
+
+
+def link_topk(
+    mentions: DataFrame,
+    entities: DataFrame,
+    k: int = 3,
+    min_score: float = 0.5,
+    broadcast_entities: bool = True,
+    n_hashes: int = 16,
+    band_rows: int = 2,
+) -> DataFrame:
+    """links(mention_id, entity_id, score, rank) with rank 1..k.
+
+    ``min_score`` is the range-search threshold analog
+    (reference clip_filter.py:51-53; threshold 0.94 at clip_back.py:292).
+    """
+    m = lsh_explode(
+        mentions.select("mention_id", "surface", "embedding"),
+        "surface", n_hashes, band_rows,
+    ).select(
+        "mention_id", "band", "sig",
+        F.col("surface").alias("m_surface"),
+        F.col("embedding").alias("m_emb"),
+    )
+    e = lsh_explode(
+        entities.select("entity_id", "surface", "embedding"),
+        "surface", n_hashes, band_rows,
+    ).select(
+        "entity_id", "band", "sig",
+        F.col("embedding").alias("e_emb"),
+    )
+    if broadcast_entities:
+        e = F.broadcast(e)
+    cand = (
+        m.join(e, ["band", "sig"])
+        # a mention/entity pair can share many bands; score each pair once
+        .dropDuplicates(["mention_id", "entity_id"])
+        .withColumn("score", dot("m_emb", "e_emb"))
+        .filter(F.col("score") >= min_score)
+    )
+    w = Window.partitionBy("mention_id").orderBy(
+        F.desc("score"), F.asc("entity_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("mention_id", "entity_id",
+                F.col("score").cast("float").alias("score"), "rank")
+    )

@@ -1,0 +1,116 @@
+"""MinHash-LSH blocking — the scale path that replaces the reference's
+faiss index (reference clip_back.py:343-399 knn search and the
+range_search self-join at clip_back.py:290-301).
+
+Everything here is JVM-side (higher-order functions + xxhash64): shingle
+-> minhash -> band -> explode -> equi-join. No Python in the hot path.
+The band count is the recall/cost knob — the analog of the reference's
+dynamic nprobe widening (clip_back.py:356-361).
+
+At 100 TB scale the bucket join is the only shuffle, keyed by
+(band, signature); hot buckets are bounded by ``max_bucket`` — buckets
+larger than that are dropped as non-selective, which keeps worst-case
+pair fanout linear in input; AQE skew-join splits what remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 16
+BAND_ROWS = 2  # => 8 bands
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct char n-grams of lower(col), JVM-side."""
+    s = F.concat(F.lit("^"), F.lower(col), F.lit("$"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substr(s, i, F.lit(n)))
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
+    """array<long> of length n_hashes: min over xxhash64(seed_i, gram)."""
+    def _hasher(seed: str):
+        # single-arg lambda: a 2-arg lambda would make transform() pass
+        # the array index as the second argument
+        return lambda g: F.xxhash64(F.lit(seed), g)
+
+    sigs = [
+        F.array_min(F.transform(shingles, _hasher(f"mh{i}")))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def band_keys(
+    sig: Column, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
+) -> Column:
+    """array<struct<band:int, sig:long>> — one bucket key per band."""
+    n_bands = n_hashes // band_rows
+    bands = []
+    for b in range(n_bands):
+        rows = [
+            F.element_at(sig, b * band_rows + r + 1)
+            for r in range(band_rows)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*rows).alias("sig"),
+            )
+        )
+    return F.array(*bands)
+
+
+def lsh_explode(
+    df: DataFrame,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """df + (band, sig) — one row per (input row, band)."""
+    sig = minhash_signature(char_shingles(F.col(text_col), shingle_n), n_hashes)
+    return (
+        df.withColumn("_bands", band_keys(sig, n_hashes, band_rows))
+        .withColumn("_b", F.explode("_bands"))
+        .withColumn("band", F.col("_b.band"))
+        .withColumn("sig", F.col("_b.sig"))
+        .drop("_bands", "_b")
+    )
+
+
+def candidate_pairs(
+    entities: DataFrame,
+    id_col: str = "entity_id",
+    text_col: str = "surface",
+    max_bucket: int = 256,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from shared LSH buckets.
+
+    Self-join on (band, sig) with a bucket-size cap: a bucket of size m
+    contributes m^2 pairs, so unbounded hot buckets are the classic LSH
+    blowup; capping keeps the join linear-ish at scale.
+    """
+    buckets = lsh_explode(
+        entities.select(id_col, text_col), text_col, n_hashes, band_rows
+    ).select(id_col, "band", "sig")
+    # bucket-size cap via aggregate (reuses the same hash partitioning
+    # the join needs, so AQE collapses the exchanges)
+    counts = buckets.groupBy("band", "sig").agg(F.count("*").alias("_n"))
+    bounded = buckets.join(
+        counts.filter(F.col("_n") <= max_bucket), ["band", "sig"]
+    ).drop("_n")
+    a = bounded.select("band", "sig", F.col(id_col).alias("a"))
+    b = bounded.select("band", "sig", F.col(id_col).alias("b"))
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )

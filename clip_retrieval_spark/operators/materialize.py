@@ -1,0 +1,152 @@
+"""Stage 4b — canonicalization + node/edge table materialization.
+
+The Spark restatement of the reference's dedup epilogue
+(reference clip_back.py:303-309: component -> keep g[0], mark the rest),
+generalized: canonical_id = MIN entity_id of each connected component,
+every entity keeps a row pointing at its canonical (nothing is dropped —
+at KG scale the alias structure IS data).
+
+edges(canonical_subj, pred, canonical_obj, url, warc_ts): triples with
+both endpoints resolved through links (rank=1) and the canonical map.
+Joins are hash joins on ids; the canonical map is typically small
+relative to triples -> broadcast hint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark.sql import Column
+
+from clip_retrieval_spark.functions.vectors import dot
+from clip_retrieval_spark.operators.cc import connected_components
+from clip_retrieval_spark.operators.lsh import candidate_pairs
+
+# corporate-designator tokens dropped during surface normalization —
+# standard entity-resolution blocking (public technique), all lowercase
+ORG_SUFFIXES = (
+    "corp corporation inc incorporated llc ltd co company plc gmbh "
+    "holdings group labs laboratories industries ind enterprises ent "
+    "works factory bank brewing brewery trading systems sys science sci "
+    "cybernetics cyber foods products consumer"
+).split()
+
+
+def normalized_surface(col: Column | str) -> Column:
+    """JVM-side canonical form: lowercase, strip punctuation, drop
+    corporate-designator tokens, collapse whitespace. Falls back to the
+    full cleaned string when every token is a designator."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")
+    toks = F.filter(
+        F.split(cleaned, r"\s+"), lambda t: t != F.lit("")
+    )
+    kept = F.filter(
+        toks,
+        lambda t: ~F.array_contains(
+            F.array(*[F.lit(s) for s in ORG_SUFFIXES]), t
+        ),
+    )
+    core = F.array_join(kept, " ")
+    return F.when(core == "", F.array_join(toks, " ")).otherwise(core)
+
+
+def entity_merge_edges(
+    entities: DataFrame,
+    threshold: float = 0.85,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Alias-merge graph from two edge sources, unioned:
+
+    1. normalization-equality edges — entities sharing a normalized
+       surface link to the min entity_id of the group (groupBy on the
+       norm key: algebraic, map-side combined, skew-safe);
+    2. LSH candidates + exact cosine >= threshold — the scale path that
+       replaces the reference's O(n^2) 0.94 range-search self-join
+       feeding its dedup CC (reference clip_back.py:290-301); threshold
+       sits above the cross-entity similarity band so it only adds
+       typo-level variants.
+    """
+    norm = entities.select(
+        "entity_id", normalized_surface("surface").alias("nkey")
+    )
+    norm_min = norm.groupBy("nkey").agg(F.min("entity_id").alias("root"))
+    norm_edges = (
+        norm.join(norm_min, "nkey")
+        .filter(F.col("entity_id") != F.col("root"))
+        .select(F.col("entity_id").alias("src"), F.col("root").alias("dst"))
+    )
+
+    cand = candidate_pairs(entities, max_bucket=max_bucket)
+    ea = entities.select(
+        F.col("entity_id").alias("a"), F.col("embedding").alias("emb_a")
+    )
+    eb = entities.select(
+        F.col("entity_id").alias("b"), F.col("embedding").alias("emb_b")
+    )
+    cos_edges = (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("score", dot("emb_a", "emb_b"))
+        .filter(F.col("score") >= threshold)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return norm_edges.unionByName(cos_edges)
+
+
+def canonical_map(entities: DataFrame, merge_edges: DataFrame) -> DataFrame:
+    """nodes(entity_id, canonical_id, surface); entities not in any merge
+    edge canonicalize to themselves."""
+    assign = connected_components(merge_edges)
+    return (
+        entities.join(
+            assign.withColumnRenamed("node", "entity_id"),
+            "entity_id",
+            "left",
+        )
+        .withColumn(
+            "canonical_id", F.coalesce(F.col("component"), F.col("entity_id"))
+        )
+        .select("entity_id", "canonical_id", "surface")
+    )
+
+
+def materialize_edges(
+    triples: DataFrame,
+    mentions: DataFrame,
+    links: DataFrame,
+    nodes: DataFrame,
+) -> DataFrame:
+    """edges(canonical_subj, pred, canonical_obj, url, warc_ts).
+
+    Resolution chain per endpoint:
+    triple -(url, sent_id, role, surface)-> mention -(rank-1 link)->
+    entity -(nodes)-> canonical. All plain equi-joins: the
+    mention->canonical map is mention-sized (NOT broadcastable at web
+    scale), so AQE picks broadcast only when runtime stats say it fits.
+    """
+    best = links.filter(F.col("rank") == 1).select("mention_id", "entity_id")
+    m2c = (
+        mentions.select("mention_id", "url", "sent_id", "role", "surface")
+        .join(best, "mention_id")
+        .join(nodes.select("entity_id", "canonical_id"), "entity_id")
+        .select("url", "sent_id", "role", "surface", "canonical_id")
+    )
+    subj_map = m2c.filter(F.col("role") == "s").select(
+        "url", "sent_id",
+        F.col("surface").alias("subj"),
+        F.col("canonical_id").alias("canonical_subj"),
+    )
+    obj_map = m2c.filter(F.col("role") == "o").select(
+        "url", "sent_id",
+        F.col("surface").alias("obj"),
+        F.col("canonical_id").alias("canonical_obj"),
+    )
+    return (
+        triples.join(subj_map, ["url", "sent_id", "subj"])
+        .join(obj_map, ["url", "sent_id", "obj"])
+        .select(
+            "canonical_subj", "pred", "canonical_obj", "url", "warc_ts"
+        )
+    )

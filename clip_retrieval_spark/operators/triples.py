@@ -22,8 +22,8 @@ from pyspark.sql import DataFrame
 from clip_retrieval_spark.functions.text import extract_triples
 
 TRIPLES_FIELDS = (
-    "url string, sent_id int, subj string, pred string, obj string, "
-    "subj_span array<int>, obj_span array<int>"
+    "url string, warc_ts timestamp, sent_id int, subj string, pred string, "
+    "obj string, subj_span array<int>, obj_span array<int>"
 )
 
 
@@ -33,21 +33,21 @@ def extract_triples_df(extracted: DataFrame) -> DataFrame:
     def _triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
                 for (sid, subj, pred, obj, s1, e1, s2, e2) in extract_triples(
                     text or ""
                 ):
                     rows.append(
-                        (url, sid, subj, pred, obj, [s1, e1], [s2, e2])
+                        (url, ts, sid, subj, pred, obj, [s1, e1], [s2, e2])
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "url", "sent_id", "subj", "pred", "obj",
+                    "url", "warc_ts", "sent_id", "subj", "pred", "obj",
                     "subj_span", "obj_span",
                 ],
             )
 
-    return extracted.select("url", "text").mapInPandas(
+    return extracted.select("url", "warc_ts", "text").mapInPandas(
         _triples, schema=TRIPLES_FIELDS
     )

@@ -1,0 +1,1128 @@
+"""Driver-contract query library: Spark implementations + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 over the
+driver's parquet tables. Design rules for cross-engine determinism:
+
+* hash-based ops use md5 (bit-identical in Spark and DuckDB);
+* doubles are rounded and counts cast to bigint on BOTH sides;
+* timestamps leave as formatted strings;
+* every top-k has a total order (tie-broken by a key column);
+* column names are aliased identically on both sides.
+
+``QUERIES`` maps name -> (spark_fn, oracle_sql | None). oracle None =>
+rows-only check (non-SQL-expressible ops: the KG pipeline stages).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# relational core (scan / filter / project / agg / join / window / sort)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+groupBy agg (SURVEY.md §2.4 A1/A2)."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)            AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)       AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 2)            AS avg_qty,
+       ROUND(AVG(l_discount), 4)            AS avg_disc,
+       COUNT(*)::BIGINT                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way join + agg + deterministic top-10 (J2/O1)."""
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """5-way join through dims; broadcast small sides (J2, §4 pushdown)."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    sup = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(
+            F.broadcast(nat),
+            (cust.c_nationkey == nat.n_nationkey)
+            & (sup.s_nationkey == nat.n_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def filter_project_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Predicate + projection pushdown (P1, §4)."""
+    return (
+        _t(spark, sf, "part")
+        .filter((F.col("p_size") >= 40) & F.col("p_type").contains("BRASS"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("p_retailprice") * 1.1, 2).alias("marked_up"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT p_partkey, p_brand, ROUND(p_retailprice * 1.1, 2) AS marked_up
+FROM part
+WHERE p_size >= 40 AND p_type LIKE '%BRASS%'
+ORDER BY p_partkey
+"""
+
+
+def sort_topn_lineitems(spark: SparkSession, sf: str) -> DataFrame:
+    """Global sort + limit — Spark external sort (O4 collapses to this)."""
+    return (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        )
+        .limit(100)
+    )
+
+
+SORT_TOPN_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+
+def window_top3_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key top-k via window row_number with pinned ties (O1/O5)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    )
+
+
+WINDOW_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)
+           ::INT AS rnk
+  FROM orders
+) WHERE rnk <= 3
+ORDER BY o_custkey, rnk
+"""
+
+
+def semi_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """left_semi — the reference's key-set intersection (J1)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """left_anti — set difference on keys (U1)."""
+    cust = _t(spark, sf, "customer")
+    orders = _t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def distinct_agg_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """count(distinct) + multiple aggregates (§2.4)."""
+    return (
+        _t(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.count("*").alias("n_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+DISTINCT_AGG_SQL = """
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey)::BIGINT AS n_custs,
+       COUNT(*)::BIGINT                  AS n_orders,
+       ROUND(MAX(o_totalprice), 2)       AS max_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def set_ops_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """union / except_all analogs (U1/U2)."""
+    cust = _t(spark, sf, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.union(b).distinct().exceptAll(
+        cust.filter(F.col("c_nationkey") == 0).select("c_custkey")
+    ).orderBy("c_custkey")
+
+
+SET_OPS_SQL = """
+(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_nationkey = 0
+ORDER BY c_custkey
+"""
+
+
+def string_functions_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar string function surface (§2.8: lpad / regexp / null-fill)."""
+    return (
+        _t(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 500)
+        .select(
+            "p_partkey",
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+            F.regexp_replace(F.lower("p_name"), r"\s+", "_").alias("slug"),
+            F.substring("p_brand", 1, 5).alias("brand5"),
+            F.coalesce(F.col("p_type"), F.lit("")).alias("ptype"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+STRING_FUNCS_SQL = """
+SELECT p_partkey,
+       LPAD(p_partkey::VARCHAR, 8, '0')            AS padded,
+       REGEXP_REPLACE(LOWER(p_name), '\\s+', '_', 'g') AS slug,
+       SUBSTRING(p_brand, 1, 5)                    AS brand5,
+       COALESCE(p_type, '')                        AS ptype
+FROM part WHERE p_partkey <= 500 ORDER BY p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: JSON, time windows, sessionization, latest-per-key
+# ---------------------------------------------------------------------------
+
+def events_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON parse/flatten (§2.8: from_json / get_json_object)."""
+    return (
+        _t(spark, sf, "events")
+        .withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 3).alias("avg_k"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       ROUND(AVG(json_extract_string(props, '$.k')::INT), 3) AS avg_k,
+       COUNT(*)::BIGINT AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling time window aggregation (Structured-Streaming-shaped,
+    run in batch; §2.9)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type", "n", "sum_value",
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, COUNT(*)::BIGINT AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization via lag + cumulative sum windows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    ev = (
+        _t(spark, sf, "events")
+        .withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("sess_id").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, SUM(new_sess)::BIGINT AS n_sessions,
+       COUNT(*)::BIGINT AS n_events
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_latest_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-preserving dedup: keep latest row per key (O5)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        _t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "event_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_id AS last_event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts, event_type
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup suite over documents (SURVEY.md §2.7 generalized to text corpora)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, keep min doc_id (G1)."""
+    return (
+        _t(spark, sf, "documents")
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("keeper")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+       COUNT(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1 ORDER BY keeper
+"""
+
+
+def _doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, tok) distinct — shared by the dedup/text family."""
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+
+_DOC_TOKENS_SQL = """
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+"""
+
+_MINHASH_K = 8  # 4 bands x 2 rows
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (G2/J6): token shingles ->
+    8 md5-minhashes -> 4 bands of 2 -> bucket equi-join -> distinct pairs.
+    md5 hex strings are bit-identical across engines, and lexicographic
+    MIN over uniformly-distributed hex IS a valid minhash."""
+    toks = _doc_tokens(spark, sf)
+    mh = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(
+                f"mh{i}"
+            )
+            for i in range(_MINHASH_K)
+        ]
+    )
+    bands = None
+    for b in range(_MINHASH_K // 2):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(f"mh{2 * b}", f"mh{2 * b + 1}")).alias("sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    left = bands.select("band", "sig", F.col("doc_id").alias("a"))
+    right = bands.select("band", "sig", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .orderBy("a", "b")
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH toks AS ({_DOC_TOKENS_SQL}),
+mh AS (
+  SELECT doc_id,
+         {', '.join(f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(_MINHASH_K))}
+  FROM toks GROUP BY doc_id
+),
+bands AS (
+  {' UNION ALL '.join(
+      f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS sig FROM mh"
+      for b in range(_MINHASH_K // 2)
+  )}
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+WHERE l.doc_id < r.doc_id
+ORDER BY a, b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """32-bit SimHash fingerprints: per-token md5 -> 32 bits -> signed
+    per-bit majority vote -> fingerprint (dedup = equal fingerprints)."""
+    toks = _doc_tokens(spark, sf).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bits = toks.select(
+        "doc_id", "h",
+        F.explode(F.array(*[F.lit(b) for b in range(32)])).alias("bit"),
+    )
+    votes = (
+        bits.withColumn(
+            "v",
+            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("s"))
+    )
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+    return sim.select("doc_id", "simhash").orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SQL = """
+WITH toks AS ({toks}),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS v
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+),
+votes AS (SELECT doc_id, bit, SUM(v) AS s FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+         AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+""".format(toks=_DOC_TOKENS_SQL)
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram (token-set) Jaccard similarity join, blocked by ``source``:
+    |A∩B| via token equi-join, sizes via per-doc counts (J6 exact path)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    toks = _doc_tokens(spark, sf).join(docs, "doc_id")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select(
+        F.col("source"), F.col("doc_id").alias("a"), F.col("tok")
+    )
+    b = toks.select(
+        F.col("source"), F.col("doc_id").alias("b"), F.col("tok")
+    )
+    inter = (
+        a.join(b, ["source", "tok"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH toks AS (
+  SELECT t.doc_id, t.tok, d.source
+  FROM ({toks}) t JOIN documents d USING (doc_id)
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS c
+  FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(c / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE ROUND(c / (sa.sz + sb.sz - c), 4) >= 0.5
+ORDER BY a, b
+""".format(toks=_DOC_TOKENS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# text analysis over documents
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": ["the", "of", "and", "a", "in", "is", "to", "was"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "von", "zu"],
+    "es": ["el", "los", "las", "y", "en", "una", "es", "por"],
+}
+
+
+def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram-heuristic language ID: stopword hit counts per language,
+    argmax with pinned tie order (score DESC, lang ASC); 'und' when no
+    stopword hits."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in _STOPWORDS.items() for w in ws],
+        "lang string, tok string",
+    )
+    hits = (
+        toks.join(F.broadcast(sw), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("lang").alias("pred_lang"), "hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SW_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in _STOPWORDS.items() for w in ws
+)
+
+LANG_ID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+sw(lang, tok) AS (VALUES {_SW_VALUES}),
+hits AS (
+  SELECT doc_id, lang, COUNT(*)::BIGINT AS hits
+  FROM toks JOIN sw USING (tok) WHERE tok <> ''
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.pred_lang, 'und') AS pred_lang,
+       COALESCE(b.hits, 0)::BIGINT  AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON d.doc_id = b.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword ratio,
+    composite score — pure JVM-side arithmetic."""
+    en = _STOPWORDS["en"]
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    sw_arr = F.array(*[F.lit(w) for w in en])
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    mean_len = (
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_tok
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_tok_len"),
+        F.round(n_sw / n_tok, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.5
+            + (1 - n_sw / n_tok) * 0.5,
+            4,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+_EN_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS["en"]) + "]"
+
+QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         list_sum(list_transform(
+             list_filter(string_split(text, ' '), x -> x <> ''),
+             x -> len(x)))::DOUBLE AS tot_len,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains(__EN__, x))) AS n_sw
+  FROM documents
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       ROUND(tot_len / n_tokens, 4) AS mean_tok_len,
+       ROUND(n_sw / n_tokens::DOUBLE, 4) AS stopword_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.5
+             + (1 - n_sw / n_tokens::DOUBLE) * 0.5, 4) AS quality
+FROM t ORDER BY doc_id
+""".replace("__EN__", _EN_LIST)
+
+
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level token statistics (one-row aggregate)."""
+    toks = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    return toks.agg(
+        F.count("*").alias("total_tokens"),
+        F.countDistinct("tok").alias("distinct_tokens"),
+        F.round(F.avg(F.length("tok")), 4).alias("avg_len"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT COUNT(*)::BIGINT AS total_tokens,
+       COUNT(DISTINCT tok)::BIGINT AS distinct_tokens,
+       ROUND(AVG(len(tok)), 4) AS avg_len
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> ''
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set
+    (order-canonical bag fingerprint)."""
+    return (
+        _doc_tokens(spark, sf)
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(F.array_sort(F.collect_set("tok")), " ")
+            ).alias("fingerprint")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tok)) AS fingerprint
+FROM ({_DOC_TOKENS_SQL})
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (O1/J7 baseline).
+    Vectors are unit-norm so dot == cosine; accumulated in double,
+    left-to-right, which DuckDB's list_dot_product(::DOUBLE[]) matches
+    bit-for-bit (verified empirically)."""
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "score",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "q_emb", "c_emb",
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 5")
+        .select("qid", "cid", "score", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+ANN_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS q_emb FROM embeddings
+           WHERE vec_id < 10),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         ROUND(list_dot_product(q.q_emb::DOUBLE[], c.embedding::DOUBLE[]), 6)
+           AS score
+  FROM q CROSS JOIN embeddings c
+  WHERE q.qid <> c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, cid ASC)::INT AS rnk
+  FROM scored
+)
+SELECT qid, cid, score, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (G2): all pairs with cosine >=
+    0.35, exact O(n^2) at oracle scale — the LSH-blocked variant is the
+    engine's scale path (operators.lsh.candidate_pairs)."""
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "score",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "ea", "eb",
+                        lambda x, y: x.cast("double") * y.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("score") >= 0.35)
+        .select("a", "b", "score")
+        .orderBy("a", "b")
+    )
+
+
+EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+             6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+            6) >= 0.35
+ORDER BY a, b
+"""
+
+
+def label_centroid_norms(spark: SparkSession, sf: str) -> DataFrame:
+    """Element-wise centroid per label (posexplode + two-level agg),
+    reported as the centroid L2 norm."""
+    emb = _t(spark, sf, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("i", "x")
+    )
+    cent = dims.groupBy("label", "i").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias(
+                "centroid_norm"
+            ),
+        )
+        .join(
+            emb.groupBy("label").agg(F.count("*").alias("n")), "label"
+        )
+        .select("label", "n", "centroid_norm")
+        .orderBy("label")
+    )
+
+
+LABEL_CENTROID_SQL = """
+WITH dims AS (
+  SELECT label, i.i AS i, embedding[i.i]::DOUBLE AS x
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+),
+cent AS (SELECT label, i, AVG(x) AS m FROM dims GROUP BY label, i),
+norms AS (
+  SELECT label, ROUND(SQRT(SUM(m * m)), 6) AS centroid_norm
+  FROM cent GROUP BY label
+)
+SELECT n1.label, n2.n, n1.centroid_norm
+FROM norms n1
+JOIN (SELECT label, COUNT(*)::BIGINT AS n FROM embeddings GROUP BY label) n2
+  ON n1.label = n2.label
+ORDER BY n1.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline stages on synthesized pages (north-rule operators)
+#
+# Pages are synthesized DETERMINISTICALLY from the documents table with
+# JVM-side string ops, so the same page set is constructible in SQL.
+# Every page carries exactly one known SVO sentence + the document text,
+# which makes Stage-1 extraction and Stage-2 triple output exactly
+# SQL-expressible — the driver cross-checks the two north-rule
+# invariants (byte-identical text, exact triples) against DuckDB.
+# ---------------------------------------------------------------------------
+
+def docs_as_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> pages(url, warc_ts, html, text, lang)."""
+    d = _t(spark, sf, "documents")
+    sent = F.concat(
+        F.lit("Entity"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(" acquired Entity"),
+        ((F.col("doc_id") * 7) % 40).cast("string"), F.lit("."),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>b{}</style></head><body><nav>Nav Here</nav>"),
+        F.lit("<!-- c --><p>"), sent, F.lit(" "), F.col("text"),
+        F.lit("</p><footer>Footer</footer></body></html>"),
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc-"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias(
+            "warc_ts"
+        ),
+        F.encode(html, "utf-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+
+
+def kg_extract_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 1 on synthesized pages; byte-identical text is
+    SQL-reconstructible for this page shape."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+
+    return (
+        extract_pages(docs_as_pages(spark, sf))
+        .select("url", "text")
+        .orderBy("url")
+    )
+
+
+KG_EXTRACT_SQL = """
+SELECT 'https://' || source || '.example.com/doc-' || doc_id AS url,
+       'Doc ' || doc_id || chr(10) ||
+       'Entity' || (doc_id % 40) || ' acquired Entity' ||
+       ((doc_id * 7) % 40) || '. ' || text AS text
+FROM documents
+ORDER BY url
+"""
+
+
+def kg_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 2 on synthesized pages; the known SVO sentence makes the
+    triple set exactly SQL-expressible."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+
+    return (
+        extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+        .select("url", "sent_id", "subj", "pred", "obj")
+        .orderBy("url", "sent_id", "subj", "obj")
+    )
+
+
+KG_TRIPLES_SQL = """
+SELECT 'https://' || source || '.example.com/doc-' || doc_id AS url,
+       1::INT AS sent_id,
+       'Entity' || (doc_id % 40)       AS subj,
+       'acquired'                      AS pred,
+       'Entity' || ((doc_id * 7) % 40) AS obj
+FROM documents
+ORDER BY url, sent_id, subj, obj
+"""
+
+
+def kg_mentions(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 3a (rows-only check: ids are engine-side content hashes)."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.embed import mentions_df
+
+    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    return mentions_df(tr).select(
+        "mention_id", "url", "surface", "role"
+    ).orderBy("url", "role", "surface")
+
+
+def kg_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 3c (rows-only): LSH-blocked broadcast top-k cosine links."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.embed import entities_df, mentions_df
+    from clip_retrieval_spark.operators.link import link_topk
+
+    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    m = mentions_df(tr)
+    return link_topk(m, entities_df(m), k=3)
+
+
+def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 4 (rows-only): canonicalized KG edge table."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.embed import entities_df, mentions_df
+    from clip_retrieval_spark.operators.link import link_topk
+    from clip_retrieval_spark.operators.materialize import (
+        canonical_map,
+        entity_merge_edges,
+        materialize_edges,
+    )
+
+    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    m = mentions_df(tr)
+    e = entities_df(m)
+    links = link_topk(m, e, k=1)
+    nodes = canonical_map(e, entity_merge_edges(e))
+    return materialize_edges(tr, m, links, nodes).select(
+        "canonical_subj", "pred", "canonical_obj", "url"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "filter_project_parts": (filter_project_parts, FILTER_PROJECT_SQL),
+    "sort_topn_lineitems": (sort_topn_lineitems, SORT_TOPN_SQL),
+    "window_top3_orders": (window_top3_orders, WINDOW_TOP3_SQL),
+    "semi_join_customers": (semi_join_customers, SEMI_JOIN_SQL),
+    "anti_join_customers": (anti_join_customers, ANTI_JOIN_SQL),
+    "distinct_agg_orders": (distinct_agg_orders, DISTINCT_AGG_SQL),
+    "set_ops_segments": (set_ops_segments, SET_OPS_SQL),
+    "string_functions_parts": (string_functions_parts, STRING_FUNCS_SQL),
+    "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
+    "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
+    "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
+    "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_jaccard_pairs": (dedup_jaccard_pairs, DEDUP_JACCARD_SQL),
+    "lang_id_stopwords": (lang_id_stopwords, LANG_ID_SQL),
+    "quality_scores": (quality_scores, QUALITY_SQL),
+    "token_stats": (token_stats, TOKEN_STATS_SQL),
+    "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINT_SQL),
+    "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
+    "embedding_neardup_pairs": (embedding_neardup_pairs, EMB_NEARDUP_SQL),
+    "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
+    "kg_extract_text": (kg_extract_text, KG_EXTRACT_SQL),
+    "kg_triples": (kg_triples, KG_TRIPLES_SQL),
+    "kg_mentions": (kg_mentions, None),
+    "kg_links": (kg_links, None),
+    "kg_nodes_edges": (kg_nodes_edges, None),
+}

@@ -1,0 +1,84 @@
+"""Driver-contract equivalence: run every queries() entry on Spark and its
+oracle_sql() on DuckDB over the same parquet tables; compare row count,
+column names, and order-insensitive values — a local mirror of the
+driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}".rstrip("0").rstrip(".")
+    if v is None:
+        return ""
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = sorted(
+        "\x1f".join(_canon(r[i]) for i in order) for r in rows
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(_ORACLES[name])
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (s_cols, d_cols)
+    assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
+    sset, dset = _rowset(s_cols, s_rows), _rowset(d_cols, d_rows)
+    mismatches = [
+        (a, b) for a, b in zip(sset, dset) if a != b
+    ]
+    assert not mismatches, mismatches[:3]
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(entry_mod.queries()) - set(_ORACLES))
+)
+def test_rows_only_queries_run(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

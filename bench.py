@@ -1,0 +1,82 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is forced end-to-end with the noop sink (full column
+materialization — count() would let Catalyst prune work). The KG
+pipeline stages run over pages synthesized from the documents table at
+the same scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clip_retrieval_spark.entry_queries import QUERIES  # noqa: E402
+from clip_retrieval_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "window_top3_orders",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "lang_id_stopwords",
+    "doc_fingerprints",
+    "ann_topk_bruteforce",
+    "embedding_neardup_pairs",
+    "kg_extract_text",
+    "kg_triples",
+    "kg_links",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_spark(
+        master=f"local[{cpus}]", app_name="bench", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up (JVM + Python workers), not timed
+    _force(QUERIES["q1_pricing_summary"][0](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name][0]
+        t0 = time.monotonic()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Table storage + atomic stage commit protocol.
+
+The design target is Iceberg (`df.writeTo(cat.db.tbl).append()`, snapshot
+commits give atomicity); the sandbox has no Iceberg runtime jar, so this
+module provides the same CONTRACT over plain parquet directories:
+
+* a stage's data is laid out as ``{root}/{table}/bucket=N/...`` parquet
+  (hash-bucketed by url — the engine's unit of resume, replacing the
+  reference's modulo output-partition files, reference
+  clip_inference/writer.py:22,67);
+* a bucket is COMMITTED only when its row appears in the
+  ``_checkpoints`` table (written by the driver AFTER the data write
+  succeeds — write-then-commit, the transactional version of the
+  reference's wip_*.json -> rename protocol, reference
+  clip_inference/logger.py:55-61);
+* on restart, bucket directories with no checkpoint row are garbage
+  from an interrupted run and are deleted before recompute.
+
+Everything here is driver-side bookkeeping; data moves only through
+Spark jobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_SCHEMA = (
+    "stage string, partition_id int, rows long, wall_ms long, "
+    "status string, run_id string"
+)
+
+
+@dataclass
+class TableStore:
+    spark: SparkSession
+    root: str
+
+    # -- paths ---------------------------------------------------------
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self.path(table))
+
+    # -- data ----------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def append_bucketed(self, df: DataFrame, table: str) -> None:
+        """Append rows laid out by their ``bucket`` column (one dir per
+        bucket — Iceberg identity-partitioning stand-in)."""
+        (
+            df.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self.path(table))
+        )
+
+    def write(self, df: DataFrame, table: str) -> None:
+        df.write.mode("overwrite").parquet(self.path(table))
+
+    # -- checkpoints ----------------------------------------------------
+
+    def checkpoints(self) -> DataFrame:
+        p = self.path("_checkpoints")
+        if not os.path.isdir(p):
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(p)
+
+    def committed_buckets(self, stage: str) -> set[int]:
+        rows = (
+            self.checkpoints()
+            .filter(
+                (F.col("stage") == stage) & (F.col("status") == "done")
+            )
+            .select("partition_id")
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def commit_buckets(
+        self,
+        stage: str,
+        bucket_rows: dict[int, int],
+        wall_ms: int,
+        run_id: str,
+    ) -> None:
+        """Write checkpoint rows AFTER the stage's data write succeeded."""
+        rows = [
+            (stage, int(b), int(n), int(wall_ms), "done", run_id)
+            for b, n in sorted(bucket_rows.items())
+        ]
+        (
+            self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.path("_checkpoints"))
+        )
+
+    def gc_uncommitted(self, stage: str, table: str) -> list[int]:
+        """Delete bucket dirs that have data but no checkpoint row —
+        leftovers of an interrupted run (they will be recomputed)."""
+        tdir = self.path(table)
+        if not os.path.isdir(tdir):
+            return []
+        committed = self.committed_buckets(stage)
+        dropped = []
+        for name in os.listdir(tdir):
+            if not name.startswith("bucket="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if b not in committed:
+                shutil.rmtree(os.path.join(tdir, name))
+                dropped.append(b)
+        return sorted(dropped)
+
+    # -- metrics ---------------------------------------------------------
+
+    def log_metrics(self, stage: str, run_id: str, **metrics) -> None:
+        """Append one metrics record (json-lines; a tiny side table the
+        reference keeps as stats/*.json, logger.py:44-61)."""
+        p = self.path("_metrics")
+        os.makedirs(p, exist_ok=True)
+        rec = {"stage": stage, "run_id": run_id, "at": time.time(), **metrics}
+        with open(
+            os.path.join(p, f"{stage}-{run_id}.jsonl"), "a", encoding="utf-8"
+        ) as f:
+            f.write(json.dumps(rec) + "\n")

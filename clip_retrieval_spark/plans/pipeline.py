@@ -1,0 +1,173 @@
+"""The four-stage KG-construction DAG with per-bucket checkpointed resume.
+
+    pages --(1 extract)--> text --(2 triples)--> triples
+          --(3 embed+LSH+link)--> mentions/entities/links
+          --(4 CC+materialize)--> nodes/edges
+
+Stages 1+2 are narrow per-page work and resume at BUCKET granularity
+(bucket = pmod(xxhash64(url), n_buckets)): on restart, committed buckets
+are skipped via an anti-filter on the input — the Spark restatement of
+the reference's idempotent partition restart (its tasks rewrite whole
+partition files; stats commit by rename — reference
+clip_inference/writer.py:108-111, logger.py:55-61).
+
+Stages 3+4 shuffle globally (blocking), so they resume at STAGE
+granularity: a completed stage's output table is read back instead of
+recomputed.
+
+Skew posture: bucket keys are url-hash (uniform regardless of
+head-domain skew); entity-side skew inside stages 3/4 is handled by the
+LSH bucket cap + AQE skew-join (see operators.lsh / operators.cc).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clip_retrieval_spark.io import TableStore
+from clip_retrieval_spark.operators.embed import entities_df, mentions_df
+from clip_retrieval_spark.operators.extract import extract_pages
+from clip_retrieval_spark.operators.link import link_topk
+from clip_retrieval_spark.operators.materialize import (
+    canonical_map,
+    entity_merge_edges,
+    materialize_edges,
+)
+from clip_retrieval_spark.operators.triples import extract_triples_df
+
+STAGE_TABLES = {
+    "extract": "text_extracted",
+    "triples": "triples",
+    "mentions": "mentions",
+    "entities": "entities",
+    "links": "links",
+    "nodes": "nodes",
+    "edges": "edges",
+}
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+class KGPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_buckets: int = 32,
+        link_k: int = 3,
+        run_id: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.store = TableStore(spark, out_dir)
+        self.n_buckets = n_buckets
+        self.link_k = link_k
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    # -- bucket-granular narrow stage ------------------------------------
+
+    def _run_bucketed_stage(
+        self, stage: str, pages: DataFrame, transform
+    ) -> DataFrame:
+        """Compute ``transform(pending pages)`` for buckets without a
+        checkpoint row; append bucket-partitioned output; commit."""
+        table = STAGE_TABLES[stage]
+        store = self.store
+        store.gc_uncommitted(stage, table)
+        done = store.committed_buckets(stage)
+        src = with_bucket(pages, self.n_buckets)
+        # cheap column-pruned scan: which buckets still need work?
+        pending_buckets = {
+            r["bucket"]
+            for r in src.select("bucket").distinct().collect()
+        } - done
+        if pending_buckets:
+            pending = src.filter(
+                F.col("bucket").isin(*sorted(pending_buckets))
+            )
+            t0 = time.monotonic()
+            out = transform(pending)
+            if "bucket" not in out.columns:
+                out = with_bucket(out, self.n_buckets)
+            store.append_bucketed(out, table)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            counts = {
+                r["bucket"]: r["n"]
+                for r in store.read(table)
+                .filter(F.col("bucket").isin(*sorted(pending_buckets)))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for b in pending_buckets:  # zero-row buckets still commit
+                counts.setdefault(b, 0)
+            store.commit_buckets(stage, counts, wall_ms, self.run_id)
+            store.log_metrics(
+                stage, self.run_id, rows=sum(counts.values()),
+                wall_ms=wall_ms, buckets=len(counts),
+            )
+        return store.read(table)
+
+    # -- stage-granular wide stage ----------------------------------------
+
+    def _run_table_stage(self, stage: str, compute) -> DataFrame:
+        table = STAGE_TABLES[stage]
+        store = self.store
+        if -1 in store.committed_buckets(stage):
+            return store.read(table)
+        t0 = time.monotonic()
+        df = compute()
+        store.write(df, table)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        n = store.read(table).count()
+        store.commit_buckets(stage, {-1: n}, wall_ms, self.run_id)
+        store.log_metrics(stage, self.run_id, rows=n, wall_ms=wall_ms)
+        return store.read(table)
+
+    # -- the DAG -----------------------------------------------------------
+
+    def run(self, pages: DataFrame) -> dict[str, DataFrame]:
+        text = self._run_bucketed_stage(
+            "extract", pages, lambda p: extract_pages(p.drop("bucket"))
+        )
+        triples = self._run_bucketed_stage(
+            "triples",
+            text.drop("bucket"),
+            lambda t: extract_triples_df(t),
+        )
+        mentions = self._run_table_stage(
+            "mentions", lambda: mentions_df(triples.drop("bucket"))
+        )
+        entities = self._run_table_stage(
+            "entities", lambda: entities_df(mentions)
+        )
+        links = self._run_table_stage(
+            "links",
+            lambda: link_topk(mentions, entities, k=self.link_k),
+        )
+        nodes = self._run_table_stage(
+            "nodes",
+            lambda: canonical_map(entities, entity_merge_edges(entities)),
+        )
+        edges = self._run_table_stage(
+            "edges",
+            lambda: materialize_edges(
+                triples.drop("bucket"), mentions, links, nodes
+            ),
+        )
+        return {
+            "text_extracted": text,
+            "triples": triples,
+            "mentions": mentions,
+            "entities": entities,
+            "links": links,
+            "nodes": nodes,
+            "edges": edges,
+        }

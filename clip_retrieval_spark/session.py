@@ -45,6 +45,10 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = {
+        # local mode: driver JVM hosts all executor threads — size the
+        # heap for 32 concurrent tasks (default 1g thrashes GC)
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "24g"),
+        "spark.driver.maxResultSize": "4g",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

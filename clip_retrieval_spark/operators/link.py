@@ -43,37 +43,48 @@ def link_topk(
 
     ``min_score`` is the range-search threshold analog
     (reference clip_filter.py:51-53; threshold 0.94 at clip_back.py:292).
+
+    Link scores are a pure function of the mention SURFACE (embedding is
+    deterministic of surface), so the expensive LSH-join + window top-k
+    runs over DISTINCT surfaces only — under Zipfian mention skew the
+    distinct-surface table is orders of magnitude smaller than the
+    mention table (the same observation behind the reference caching
+    encodings, clip_back.py:671). Mentions then pick up their links via
+    one equi-join on surface (AQE broadcasts it when it fits).
     """
-    m = lsh_explode(
-        mentions.select("mention_id", "surface", "embedding"),
-        "surface", n_hashes, band_rows,
+    surfaces = (
+        mentions.select("surface", "embedding")
+        .dropDuplicates(["surface"])
+    )
+    s = lsh_explode(
+        surfaces, "surface", n_hashes, band_rows
     ).select(
-        "mention_id", "band", "sig",
-        F.col("surface").alias("m_surface"),
-        F.col("embedding").alias("m_emb"),
+        "surface", "band", "sig", F.col("embedding").alias("s_emb")
     )
     e = lsh_explode(
         entities.select("entity_id", "surface", "embedding"),
         "surface", n_hashes, band_rows,
     ).select(
-        "entity_id", "band", "sig",
-        F.col("embedding").alias("e_emb"),
+        "entity_id", "band", "sig", F.col("embedding").alias("e_emb")
     )
     if broadcast_entities:
         e = F.broadcast(e)
     cand = (
-        m.join(e, ["band", "sig"])
-        # a mention/entity pair can share many bands; score each pair once
-        .dropDuplicates(["mention_id", "entity_id"])
-        .withColumn("score", dot("m_emb", "e_emb"))
+        s.join(e, ["band", "sig"])
+        # a surface/entity pair can share many bands; score each pair once
+        .dropDuplicates(["surface", "entity_id"])
+        .withColumn("score", dot("s_emb", "e_emb"))
         .filter(F.col("score") >= min_score)
     )
-    w = Window.partitionBy("mention_id").orderBy(
+    w = Window.partitionBy("surface").orderBy(
         F.desc("score"), F.asc("entity_id")
     )
-    return (
+    surface_links = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("mention_id", "entity_id",
+        .select("surface", "entity_id",
                 F.col("score").cast("float").alias("score"), "rank")
     )
+    return mentions.select("mention_id", "surface").join(
+        surface_links, "surface"
+    ).select("mention_id", "entity_id", "score", "rank")

@@ -1,0 +1,234 @@
+"""Library operator tests: dedup, similarity search, multimodal
+plumbing, file sources, streaming metrics rollup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from clip_retrieval_spark.operators.dedup import (
+    dedup_stats,
+    exact_dedup,
+    near_dedup_minhash,
+    simhash64,
+)
+from clip_retrieval_spark.operators.similarity import (
+    brute_force_topk,
+    rp_lsh_topk,
+)
+
+
+# --- dedup -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+        (4, "completely different content about spark engines"),
+        (5, "completely different content about spark engines here"),
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = exact_dedup(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 1 in ids and 2 not in ids
+    assert ids == {1, 3, 4, 5, 6}
+    stats = {
+        r["keeper"]: r["n_copies"]
+        for r in dedup_stats(docs, ["text"], "doc_id").collect()
+    }
+    assert stats[1] == 2 and stats[3] == 1
+
+
+def test_near_dedup_minhash_groups(docs):
+    out = near_dedup_minhash(
+        docs, "doc_id", "text", jaccard_threshold=0.5,
+        n_hashes=16, band_rows=2,
+    )
+    canon = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert len(canon) == 6
+    assert canon[1] == canon[2] == canon[3]  # exact + near dup merge
+    assert canon[4] == canon[5]
+    assert canon[6] == 6
+    assert canon[1] != canon[4] != canon[6]
+
+
+def test_simhash_similar_docs_close(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]  # identical docs, identical fingerprints
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+# --- similarity ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return emb.cache()
+
+
+def test_brute_force_topk_matches_numpy(spark, vectors):
+    rows = vectors.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    q = vectors.filter("vec_id < 3").selectExpr(
+        "vec_id as qid", "embedding as q_emb"
+    )
+    c = vectors.selectExpr("vec_id as cid", "embedding as c_emb")
+    got = brute_force_topk(q, c, k=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["cid"]))
+    for qi in range(3):
+        sims = V @ V[ids.index(qi)]
+        order = sorted(
+            range(len(ids)), key=lambda j: (-round(sims[j], 9), ids[j])
+        )[:5]
+        want = [ids[j] for j in order]
+        gotl = [cid for (_rk, cid) in sorted(by_q[qi])]
+        assert gotl == want, (qi, gotl, want)
+
+
+def test_rp_lsh_topk_recall(spark, vectors):
+    """LSH recall@5 vs brute force. These embeddings are near-random
+    (top-5 cosine ~0.3-0.5, i.e. ~65-72 deg), so per-bit collision
+    p ~ 0.6 and recall needs shallow buckets + many tables:
+    4 bits x 8 tables => expected recall ~ 1-(1-0.6^4)^8 ~ 0.7."""
+    q = vectors.filter("vec_id < 20").selectExpr(
+        "vec_id as qid", "embedding as q_emb"
+    )
+    c = vectors.selectExpr("vec_id as cid", "embedding as c_emb")
+    exact = brute_force_topk(q, c, k=5)
+    approx = rp_lsh_topk(q, c, dim=64, k=5, n_bits=4, n_tables=8)
+    e = {(r["qid"], r["cid"]) for r in exact.collect()}
+    a = {(r["qid"], r["cid"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall
+
+
+def test_rp_lsh_self_match(spark, vectors):
+    """Every query must find itself (same bucket in every table)."""
+    q = vectors.filter("vec_id < 10").selectExpr(
+        "vec_id as qid", "embedding as q_emb"
+    )
+    c = vectors.selectExpr("vec_id as cid", "embedding as c_emb")
+    out = rp_lsh_topk(q, c, dim=64, k=1, n_bits=8, n_tables=2)
+    top1 = {r["qid"]: r["cid"] for r in out.filter("rank=1").collect()}
+    assert top1 == {i: i for i in range(10)}
+
+
+# --- multimodal plumbing -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNG fake bytes", 640, 480, None),
+        (2, "image", b"", None, None, None),               # corrupt
+        (3, "video", b"\x00\x00vid", 1280, 720, 3500),
+        (4, "audio", b"RIFF fake", None, None, 2000),
+    ]
+    from clip_retrieval_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).cache()
+
+
+def test_feature_extraction_plumbing(media):
+    from clip_retrieval_spark.operators.multimodal import extract_features
+
+    out = extract_features(media).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(out) == 4
+    assert by_id[2]["ok"] is False and by_id[2]["feature"] is None
+    f = np.array(by_id[1]["feature"], dtype=np.float64)
+    assert abs(np.linalg.norm(f) - 1.0) < 1e-5
+    # deterministic across runs
+    again = {
+        r["media_id"]: r["feature"]
+        for r in extract_features(media).collect()
+    }
+    assert again[1] == by_id[1]["feature"]
+
+
+def test_frame_sampling_flatmap_shape(media):
+    from clip_retrieval_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert {r["media_id"] for r in frames} == {3}
+    assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2]
+
+
+def test_thumbnails(media):
+    from clip_retrieval_spark.operators.multimodal import resize_thumbnails
+
+    t = resize_thumbnails(media, size=32).collect()
+    assert len(t) == 4
+    assert all(len(r["thumb"]) == 32 for r in t)
+
+
+# --- sources --------------------------------------------------------------
+
+
+def test_folder_scan_and_pairing(spark, tmp_path):
+    from clip_retrieval_spark.sources.files import (
+        folder_scan,
+        pair_modalities,
+    )
+
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.txt").write_text("caption a")
+    (d / "a.jpg").write_bytes(b"imga")
+    (d / "sub" / "b.txt").write_text("caption b")
+    (d / "sub" / "b.jpg").write_bytes(b"imgb")
+    (d / "orphan.txt").write_text("no image")  # must be dropped by join
+
+    scanned = folder_scan(spark, str(d), (".txt",))
+    assert {r["key"] for r in scanned.collect()} == {"a", "sub/b", "orphan"}
+
+    paired = pair_modalities(spark, str(d))
+    rows = {r["key"]: r for r in paired.collect()}
+    assert set(rows) == {"a", "sub/b"}
+    assert bytes(rows["a"]["image"]) == b"imga"
+    assert bytes(rows["a"]["text"]) == b"caption a"
+
+
+# --- streaming metrics -----------------------------------------------------
+
+
+def test_streaming_metrics_rollup(spark, tmp_path):
+    import json
+
+    from clip_retrieval_spark.streaming.metrics import rollup_metrics_once
+
+    mdir = tmp_path / "metrics"
+    mdir.mkdir()
+    recs = [
+        {"stage": "extract", "run_id": "r1", "at": 1700000000.0,
+         "rows": 100, "wall_ms": 1000, "buckets": 4},
+        {"stage": "extract", "run_id": "r1", "at": 1700000010.0,
+         "rows": 50, "wall_ms": 500, "buckets": 2},
+        {"stage": "triples", "run_id": "r1", "at": 1700000100.0,
+         "rows": 700, "wall_ms": 2000, "buckets": 4},
+    ]
+    with open(mdir / "m.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    rollup_metrics_once(
+        spark, str(mdir), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {(r["stage"]): (r["rows"], r["reports"]) for r in out.collect()}
+    assert rows["extract"] == (150, 2)
+    assert rows["triples"] == (700, 1)

@@ -51,3 +51,40 @@ def extract_triples_df(extracted: DataFrame) -> DataFrame:
     return extracted.select("url", "warc_ts", "text").mapInPandas(
         _triples, schema=TRIPLES_FIELDS
     )
+
+
+def extract_and_triples_df(pages: DataFrame) -> DataFrame:
+    """Fused Stage 1+2: html -> triples in ONE Python pass.
+
+    Crossing the JVM/Python Arrow boundary is the dominant fixed cost of
+    the narrow stages (html ships to Python, text ships back, text ships
+    to Python again); fusing halves the IPC and one worker pass does both
+    specs. Use when the intermediate text table is not needed downstream
+    — at 10^12 pages that is a full materialization saved. Semantics are
+    EXACTLY extract_pages |> extract_triples_df (same pure functions).
+    """
+    from clip_retrieval_spark.functions.text import extract_text
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, ts, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"]
+            ):
+                for (sid, s, p, o, s1, e1, s2, e2) in extract_triples(
+                    extract_text(html)
+                ):
+                    rows.append(
+                        (url, ts, sid, s, p, o, [s1, e1], [s2, e2])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "sent_id", "subj", "pred", "obj",
+                    "subj_span", "obj_span",
+                ],
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(
+        _fused, schema=TRIPLES_FIELDS
+    )

@@ -37,7 +37,10 @@ from clip_retrieval_spark.operators.materialize import (
     entity_merge_edges,
     materialize_edges,
 )
-from clip_retrieval_spark.operators.triples import extract_triples_df
+from clip_retrieval_spark.operators.triples import (
+    extract_and_triples_df,
+    extract_triples_df,
+)
 
 STAGE_TABLES = {
     "extract": "text_extracted",
@@ -64,12 +67,20 @@ class KGPipeline:
         n_buckets: int = 32,
         link_k: int = 3,
         run_id: str | None = None,
+        materialize_text: bool = True,
     ) -> None:
+        """``materialize_text=False`` fuses stages 1+2 into one Python
+        pass (operators.triples.extract_and_triples_df) and skips the
+        text_extracted table — extraction still runs per spec; only the
+        intermediate materialization (a full corpus rewrite at 10^12
+        pages) is elided. Use the default when byte-identity audits of
+        the text table are wanted."""
         self.spark = spark
         self.store = TableStore(spark, out_dir)
         self.n_buckets = n_buckets
         self.link_k = link_k
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.materialize_text = materialize_text
 
     # -- bucket-granular narrow stage ------------------------------------
 
@@ -134,14 +145,22 @@ class KGPipeline:
     # -- the DAG -----------------------------------------------------------
 
     def run(self, pages: DataFrame) -> dict[str, DataFrame]:
-        text = self._run_bucketed_stage(
-            "extract", pages, lambda p: extract_pages(p.drop("bucket"))
-        )
-        triples = self._run_bucketed_stage(
-            "triples",
-            text.drop("bucket"),
-            lambda t: extract_triples_df(t),
-        )
+        if self.materialize_text:
+            text = self._run_bucketed_stage(
+                "extract", pages, lambda p: extract_pages(p.drop("bucket"))
+            )
+            triples = self._run_bucketed_stage(
+                "triples",
+                text.drop("bucket"),
+                lambda t: extract_triples_df(t),
+            )
+        else:
+            text = None
+            triples = self._run_bucketed_stage(
+                "triples",
+                pages,
+                lambda p: extract_and_triples_df(p.drop("bucket")),
+            )
         mentions = self._run_table_stage(
             "mentions", lambda: mentions_df(triples.drop("bucket"))
         )
@@ -162,8 +181,8 @@ class KGPipeline:
                 triples.drop("bucket"), mentions, links, nodes
             ),
         )
-        return {
-            "text_extracted": text,
+        out = {} if text is None else {"text_extracted": text}
+        return out | {
             "triples": triples,
             "mentions": mentions,
             "entities": entities,

@@ -39,12 +39,24 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--n-buckets", type=int, default=32)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--no-text", action="store_true",
+        help="fuse stages 1+2; skip materializing text_extracted",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
         master=args.master,
         app_name="kg-pipeline",
         shuffle_partitions=args.shuffle_partitions,
+        extra_conf={
+            # pages are CPU-heavy per stored byte (templated html
+            # compresses ~30:1): small splits keep every core in work.
+            # tune per corpus; principle = a few task waves per stage.
+            "spark.sql.files.maxPartitionBytes": "8m",
+            # fatter Arrow batches amortize per-batch UDF overhead
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     if args.pages_parquet:
@@ -55,7 +67,10 @@ def main() -> None:
         n_pages = args.n_pages
 
     t0 = time.monotonic()
-    pipe = KGPipeline(spark, args.out, n_buckets=args.n_buckets)
+    pipe = KGPipeline(
+        spark, args.out, n_buckets=args.n_buckets,
+        materialize_text=not args.no_text,
+    )
     tables = pipe.run(pages)
     counts = {name: df.count() for name, df in tables.items()}
     wall = time.monotonic() - t0

@@ -1072,7 +1072,7 @@ def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
     from clip_retrieval_spark.operators.extract import extract_pages
     from clip_retrieval_spark.operators.triples import extract_triples_df
     from clip_retrieval_spark.operators.embed import entities_df, mentions_df
-    from clip_retrieval_spark.operators.link import link_topk
+    from clip_retrieval_spark.operators.link import surface_link_topk
     from clip_retrieval_spark.operators.materialize import (
         canonical_map,
         entity_merge_edges,
@@ -1082,9 +1082,9 @@ def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
     tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
     m = mentions_df(tr)
     e = entities_df(m)
-    links = link_topk(m, e, k=1)
+    surface_links = surface_link_topk(m, e, k=1)
     nodes = canonical_map(e, entity_merge_edges(e))
-    return materialize_edges(tr, m, links, nodes).select(
+    return materialize_edges(tr, surface_links, nodes).select(
         "canonical_subj", "pred", "canonical_obj", "url"
     )
 

@@ -67,6 +67,41 @@ class TableStore:
     def write(self, df: DataFrame, table: str) -> None:
         df.write.mode("overwrite").parquet(self.path(table))
 
+    # -- metadata-only row counts ----------------------------------------
+
+    def fast_count(self, table: str) -> int:
+        """Row count from parquet footers (driver-side, no Spark job —
+        the Iceberg-snapshot-statistics stand-in). Re-scanning a 10^10-row
+        table just to record its count is a job we never run."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(self.path(table)):
+            for name in files:
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, name)
+                    ).metadata.num_rows
+        return total
+
+    def bucket_counts(self, table: str, buckets) -> dict[int, int]:
+        """Per-bucket row counts from parquet footers."""
+        import pyarrow.parquet as pq
+
+        out: dict[int, int] = {}
+        tdir = self.path(table)
+        for b in buckets:
+            bdir = os.path.join(tdir, f"bucket={b}")
+            n = 0
+            if os.path.isdir(bdir):
+                for name in os.listdir(bdir):
+                    if name.endswith(".parquet"):
+                        n += pq.ParquetFile(
+                            os.path.join(bdir, name)
+                        ).metadata.num_rows
+            out[int(b)] = n
+        return out
+
     # -- checkpoints ----------------------------------------------------
 
     def checkpoints(self) -> DataFrame:

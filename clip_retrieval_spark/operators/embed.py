@@ -29,9 +29,10 @@ _NGRAM = 3
 
 MENTIONS_FIELDS = (
     "mention_id long, url string, sent_id int, role string, "
-    "surface string, context string, embedding array<float>"
+    "surface string, context string"
 )
 ENTITIES_FIELDS = "entity_id long, surface string, embedding array<float>"
+SURFACE_EMB_FIELDS = "surface string, embedding array<float>"
 
 
 def stable_id63(*parts: str) -> int:
@@ -71,11 +72,17 @@ def embed_batch(surfaces: pd.Series, dim: int = DIM) -> list:
 
 
 def mentions_df(triples: DataFrame) -> DataFrame:
-    """triples -> mentions(mention_id, url, surface, context, embedding).
+    """triples -> mentions(mention_id, url, sent_id, role, surface,
+    context).
 
     One mention per (url, sent_id, role, surface): subj and obj of every
-    triple. Narrow until the final distinct; embedding computed in Arrow
-    batches AFTER dedup so each distinct mention embeds once.
+    triple. ENTIRELY JVM-side (union + dedup + xxhash64 id): mentions
+    carry NO embedding column — the embedding is a pure function of the
+    surface and materializing it per-mention multiplies write volume by
+    ~10x at web scale (and did measurably hurt 4x-core scaling: shipping
+    12M array<float> rows through Arrow + parquet was the bottleneck
+    stage). Embeddings attach to DISTINCT surfaces via
+    ``surface_embeddings`` where linking needs them.
     """
     subj = triples.select(
         "url",
@@ -94,43 +101,37 @@ def mentions_df(triples: DataFrame) -> DataFrame:
     m = subj.unionByName(obj).dropDuplicates(
         ["url", "sent_id", "role", "surface"]
     )
+    mid = F.abs(
+        F.xxhash64(F.lit("mention"), "url", "sent_id", "role", "surface")
+    )
+    return m.select(
+        mid.alias("mention_id"), "url", "sent_id", "role", "surface",
+        "context",
+    )
+
+
+def surface_embeddings(surfaces: DataFrame) -> DataFrame:
+    """(surface) -> (surface, embedding) via Arrow-batched mapInPandas —
+    the clip-retrieval inference pattern applied to the distinct-surface
+    table (small under Zipf; the analog of the reference caching
+    encodings per text, clip_back.py:671)."""
 
     def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "mention_id": [
-                        stable_id63(u, str(sid), r, s)
-                        for u, sid, r, s in zip(
-                            pdf["url"], pdf["sent_id"], pdf["role"],
-                            pdf["surface"],
-                        )
-                    ],
-                    "url": pdf["url"],
-                    "sent_id": pdf["sent_id"],
-                    "role": pdf["role"],
                     "surface": pdf["surface"],
-                    "context": pdf["context"],
                     "embedding": embed_batch(pdf["surface"]),
                 }
             )
 
-    return m.mapInPandas(_embed, schema=MENTIONS_FIELDS)
+    return surfaces.select("surface").distinct().mapInPandas(
+        _embed, schema=SURFACE_EMB_FIELDS
+    )
 
 
 def entities_df(mentions: DataFrame) -> DataFrame:
-    """Distinct surfaces -> entity table (the 'index' side of linking).
-
-    groupBy(surface) is a shuffle on a low-cardinality key — cheap; the
-    embedding rides along via ``first`` (identical for equal surfaces by
-    construction, so any representative is correct).
-    """
-    return (
-        mentions.groupBy("surface")
-        .agg(F.first("embedding").alias("embedding"))
-        .withColumn(
-            "entity_id", F.xxhash64(F.lit("entity"), F.col("surface"))
-        )
-        .withColumn("entity_id", F.abs("entity_id"))
-        .select("entity_id", "surface", "embedding")
-    )
+    """Distinct surfaces -> entity table (the 'index' side of linking)."""
+    return surface_embeddings(mentions).withColumn(
+        "entity_id", F.abs(F.xxhash64(F.lit("entity"), F.col("surface")))
+    ).select("entity_id", "surface", "embedding")

@@ -30,7 +30,7 @@ from clip_retrieval_spark.operators.lsh import lsh_explode
 LINKS_COLUMNS = ("mention_id", "entity_id", "score", "rank")
 
 
-def link_topk(
+def surface_link_topk(
     mentions: DataFrame,
     entities: DataFrame,
     k: int = 3,
@@ -39,7 +39,8 @@ def link_topk(
     n_hashes: int = 16,
     band_rows: int = 2,
 ) -> DataFrame:
-    """links(mention_id, entity_id, score, rank) with rank 1..k.
+    """surface_links(surface, entity_id, score, rank) with rank 1..k —
+    the distinct-surface half of linking (see link_topk).
 
     ``min_score`` is the range-search threshold analog
     (reference clip_filter.py:51-53; threshold 0.94 at clip_back.py:292).
@@ -52,10 +53,9 @@ def link_topk(
     encodings, clip_back.py:671). Mentions then pick up their links via
     one equi-join on surface (AQE broadcasts it when it fits).
     """
-    surfaces = (
-        mentions.select("surface", "embedding")
-        .dropDuplicates(["surface"])
-    )
+    from clip_retrieval_spark.operators.embed import surface_embeddings
+
+    surfaces = surface_embeddings(mentions)
     s = lsh_explode(
         surfaces, "surface", n_hashes, band_rows
     ).select(
@@ -79,11 +79,29 @@ def link_topk(
     w = Window.partitionBy("surface").orderBy(
         F.desc("score"), F.asc("entity_id")
     )
-    surface_links = (
+    return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("surface", "entity_id",
                 F.col("score").cast("float").alias("score"), "rank")
+    )
+
+
+def link_topk(
+    mentions: DataFrame,
+    entities: DataFrame,
+    k: int = 3,
+    min_score: float = 0.5,
+    broadcast_entities: bool = True,
+    n_hashes: int = 16,
+    band_rows: int = 2,
+) -> DataFrame:
+    """links(mention_id, entity_id, score, rank) with rank 1..k:
+    ``surface_link_topk`` joined back onto mentions (one equi-join on
+    surface; AQE broadcasts the surface-links side when it fits)."""
+    surface_links = surface_link_topk(
+        mentions, entities, k, min_score, broadcast_entities,
+        n_hashes, band_rows,
     )
     return mentions.select("mention_id", "surface").join(
         surface_links, "surface"

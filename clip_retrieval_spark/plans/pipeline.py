@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from clip_retrieval_spark.io import TableStore
 from clip_retrieval_spark.operators.embed import entities_df, mentions_df
 from clip_retrieval_spark.operators.extract import extract_pages
-from clip_retrieval_spark.operators.link import link_topk
+from clip_retrieval_spark.operators.link import surface_link_topk
 from clip_retrieval_spark.operators.materialize import (
     canonical_map,
     entity_merge_edges,
@@ -47,6 +47,7 @@ STAGE_TABLES = {
     "triples": "triples",
     "mentions": "mentions",
     "entities": "entities",
+    "surface_links": "surface_links",
     "links": "links",
     "nodes": "nodes",
     "edges": "edges",
@@ -109,16 +110,10 @@ class KGPipeline:
                 out = with_bucket(out, self.n_buckets)
             store.append_bucketed(out, table)
             wall_ms = int((time.monotonic() - t0) * 1000)
-            counts = {
-                r["bucket"]: r["n"]
-                for r in store.read(table)
-                .filter(F.col("bucket").isin(*sorted(pending_buckets)))
-                .groupBy("bucket")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            for b in pending_buckets:  # zero-row buckets still commit
-                counts.setdefault(b, 0)
+            # per-bucket lineage from parquet footers (no re-scan);
+            # pending bucket dirs were gc'd, so they hold exactly the
+            # rows this run wrote. zero-row buckets commit too.
+            counts = store.bucket_counts(table, sorted(pending_buckets))
             store.commit_buckets(stage, counts, wall_ms, self.run_id)
             store.log_metrics(
                 stage, self.run_id, rows=sum(counts.values()),
@@ -137,10 +132,26 @@ class KGPipeline:
         df = compute()
         store.write(df, table)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        n = store.read(table).count()
+        n = store.fast_count(table)
         store.commit_buckets(stage, {-1: n}, wall_ms, self.run_id)
         store.log_metrics(stage, self.run_id, rows=n, wall_ms=wall_ms)
         return store.read(table)
+
+    def table_counts(self) -> dict[str, int]:
+        """Row counts per stage table from the checkpoint ledger — no
+        table re-scan (the reference reads its stats sidecars the same
+        way rather than re-reading outputs, logger.py:85-197)."""
+        rows = (
+            self.store.checkpoints()
+            .groupBy("stage")
+            .agg(F.sum("rows").alias("n"))
+            .collect()
+        )
+        return {
+            STAGE_TABLES[r["stage"]]: int(r["n"])
+            for r in rows
+            if r["stage"] in STAGE_TABLES
+        }
 
     # -- the DAG -----------------------------------------------------------
 
@@ -167,9 +178,15 @@ class KGPipeline:
         entities = self._run_table_stage(
             "entities", lambda: entities_df(mentions)
         )
+        surface_links = self._run_table_stage(
+            "surface_links",
+            lambda: surface_link_topk(mentions, entities, k=self.link_k),
+        )
         links = self._run_table_stage(
             "links",
-            lambda: link_topk(mentions, entities, k=self.link_k),
+            lambda: mentions.select("mention_id", "surface")
+            .join(surface_links, "surface")
+            .select("mention_id", "entity_id", "score", "rank"),
         )
         nodes = self._run_table_stage(
             "nodes",
@@ -178,7 +195,7 @@ class KGPipeline:
         edges = self._run_table_stage(
             "edges",
             lambda: materialize_edges(
-                triples.drop("bucket"), mentions, links, nodes
+                triples.drop("bucket"), surface_links, nodes
             ),
         )
         out = {} if text is None else {"text_extracted": text}
@@ -186,6 +203,7 @@ class KGPipeline:
             "triples": triples,
             "mentions": mentions,
             "entities": entities,
+            "surface_links": surface_links,
             "links": links,
             "nodes": nodes,
             "edges": edges,

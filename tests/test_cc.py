@@ -13,7 +13,7 @@ from clip_retrieval_spark.fixtures import ENTITY_ALIASES, pages_df
 from clip_retrieval_spark.operators.cc import connected_components
 from clip_retrieval_spark.operators.embed import entities_df, mentions_df
 from clip_retrieval_spark.operators.extract import extract_pages
-from clip_retrieval_spark.operators.link import link_topk
+from clip_retrieval_spark.operators.link import link_topk, surface_link_topk
 from clip_retrieval_spark.operators.materialize import (
     canonical_map,
     entity_merge_edges,
@@ -103,9 +103,9 @@ def stage4(spark):
     tr = extract_triples_df(extract_pages(pages_df(spark, 150))).cache()
     m = mentions_df(tr).cache()
     e = entities_df(m).cache()
-    links = link_topk(m, e, k=3).cache()
+    surface_links = surface_link_topk(m, e, k=3).cache()
     nodes = canonical_map(e, entity_merge_edges(e)).cache()
-    return tr, m, e, links, nodes
+    return tr, m, e, surface_links, nodes
 
 
 def test_alias_groups_canonicalize(stage4):
@@ -129,8 +129,8 @@ def test_canonical_id_is_component_min(stage4):
 
 
 def test_materialized_edges_conserve_triples(stage4):
-    tr, m, _e, links, nodes = stage4
-    kg = materialize_edges(tr, m, links, nodes)
+    tr, _m, _e, surface_links, nodes = stage4
+    kg = materialize_edges(tr, surface_links, nodes)
     assert kg.count() == tr.count()
     assert kg.filter(
         "canonical_subj is null or canonical_obj is null"

@@ -51,7 +51,7 @@ def test_mentions_cover_triples(stage3, spark):
     # every triple contributes a subj and an obj mention (deduped per
     # url/sent/role/surface); mention count is bounded by 2x triples
     assert 0 < m.count() <= 2 * n_triples
-    assert m.filter("embedding is null").count() == 0
+    assert m.filter("mention_id is null or mention_id < 0").count() == 0
 
 
 def test_identical_surfaces_share_all_lsh_buckets(stage3, spark):

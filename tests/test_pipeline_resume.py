@@ -39,8 +39,8 @@ def test_full_pipeline_runs_and_checkpoints(spark, outdir):
     cps = pipe.store.checkpoints()
     stages = {r["stage"] for r in cps.select("stage").distinct().collect()}
     assert stages == {
-        "extract", "triples", "mentions", "entities", "links",
-        "nodes", "edges",
+        "extract", "triples", "mentions", "entities", "surface_links",
+        "links", "nodes", "edges",
     }
     # per-bucket lineage rows for the narrow stages
     assert (

@@ -47,3 +47,22 @@ def l2_normalize(a: Column | str) -> Column:
     return F.when(n == 0.0, a.cast("array<double>")).otherwise(
         F.transform(a, lambda x: x.cast("double") / n)
     )
+
+
+def blend(a: Column | str, b: Column | str, weight: float) -> Column:
+    """Renormalized weighted vector blend: unit(a + weight*b) — the
+    reference's aesthetic-re-rank query arithmetic (clip_back.py:250-253:
+    query = normalized(query + aesthetic_embedding * weight)) as a
+    Catalyst expression."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    summed = F.zip_with(
+        a, b,
+        lambda x, y: x.cast("double") + F.lit(float(weight)) * y.cast("double"),
+    )
+    n = F.sqrt(
+        F.aggregate(summed, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(n == 0.0, summed).otherwise(
+        F.transform(summed, lambda x: x / n)
+    )

@@ -157,6 +157,25 @@ class TableStore:
                 dropped.append(b)
         return sorted(dropped)
 
+    # -- data clustering ---------------------------------------------------
+
+    def clustered_write(
+        self, df: DataFrame, table: str, cluster_cols: list[str]
+    ) -> None:
+        """Range-partition + sort-within-partitions write — data
+        clustering for scan locality (the reference reorders its whole
+        metadata collection by IVF cluster for sequential reads,
+        ivf_metadata_ordering.py:46-84 / clip_back.py:627-644; with a
+        table format this is just repartitionByRange + local sort, and
+        min/max footer stats then prune range predicates at read time).
+        """
+        (
+            df.repartitionByRange(*cluster_cols)
+            .sortWithinPartitions(*cluster_cols)
+            .write.mode("overwrite")
+            .parquet(self.path(table))
+        )
+
     # -- metrics ---------------------------------------------------------
 
     def log_metrics(self, stage: str, run_id: str, **metrics) -> None:

@@ -232,3 +232,34 @@ def test_streaming_metrics_rollup(spark, tmp_path):
     rows = {(r["stage"]): (r["rows"], r["reports"]) for r in out.collect()}
     assert rows["extract"] == (150, 2)
     assert rows["triples"] == (700, 1)
+
+
+# --- data clustering (O6) ---------------------------------------------------
+
+
+def test_clustered_write_orders_files(spark, tmp_path):
+    from clip_retrieval_spark.io import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(10000).selectExpr(
+        "cast(id * 7919 % 10000 as long) as k", "id as v"
+    )
+    store.clustered_write(df, "clustered", ["k"])
+    # each parquet file must hold a disjoint sorted k-range
+    import pyarrow.parquet as pq
+    import os
+
+    ranges = []
+    tdir = str(tmp_path / "clustered")
+    for name in sorted(os.listdir(tdir)):
+        if name.endswith(".parquet"):
+            t = pq.read_table(os.path.join(tdir, name), columns=["k"])
+            ks = t["k"].to_pylist()
+            if ks:
+                assert ks == sorted(ks)  # sorted within file
+                ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo  # disjoint ranges across files
+    # and the rows survive intact
+    assert store.read("clustered").count() == 10000

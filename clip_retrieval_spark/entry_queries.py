@@ -1089,6 +1089,81 @@ def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# skew handling (salting is internal — results must equal the plain op)
+# ---------------------------------------------------------------------------
+
+def skew_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation; semantics identical to a plain
+    GROUP BY (the salt is an internal rewrite for hub keys)."""
+    from clip_retrieval_spark.functions.skew import salted_agg
+
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_quantity")
+    out = salted_agg(li, ["l_returnflag"], {"l_quantity": "sum"}, n_salts=8)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+    ).orderBy("l_returnflag")
+
+
+SKEW_AGG_SQL = """
+SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted big-x-small equi-join; must equal the plain join."""
+    from clip_retrieval_spark.functions.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select("l_suppkey", "l_quantity")
+    sup = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    return (
+        joined.groupBy("s_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .orderBy("s_name")
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT s_name, COUNT(*)::BIGINT AS n, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name ORDER BY s_name
+"""
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane-LSH ANN top-k (the scale path; rows-only check
+    — bucket membership is hash-defined, not SQL-expressible)."""
+    from clip_retrieval_spark.operators.similarity import rp_lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter("vec_id < 10").selectExpr(
+        "vec_id as qid", "embedding as q_emb"
+    )
+    c = emb.selectExpr("vec_id as cid", "embedding as c_emb")
+    return rp_lsh_topk(q, c, dim=64, k=5, n_bits=4, n_tables=8)
+
+
+def near_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH + Jaccard-verify + CC near-dedup groups over
+    documents (rows-only: iterative CC is not SQL-expressible)."""
+    from clip_retrieval_spark.operators.dedup import near_dedup_minhash
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return near_dedup_minhash(
+        docs, "doc_id", "text", jaccard_threshold=0.8
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1122,6 +1197,10 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
     "kg_extract_text": (kg_extract_text, KG_EXTRACT_SQL),
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
+    "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
+    "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
+    "ann_lsh_bucketed": (ann_lsh_bucketed, None),
+    "near_dedup_documents": (near_dedup_documents, None),
     "kg_mentions": (kg_mentions, None),
     "kg_links": (kg_links, None),
     "kg_nodes_edges": (kg_nodes_edges, None),

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the optimizations the engine claims must be
+visible in the plan (filter pushdown, column pruning, broadcast joins,
+top-k specializations). A regression here means a silent 100x at scale.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from clip_retrieval_spark.entry_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name][0](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name,needle",
+    [
+        ("q3_top_revenue_orders", "BroadcastHashJoin"),
+        ("q5_nation_revenue", "BroadcastHashJoin"),
+        ("sort_topn_lineitems", "TakeOrderedAndProject"),
+        ("window_top3_orders", "WindowGroupLimit"),
+        ("semi_join_customers", "LeftSemi"),
+        ("anti_join_customers", "LeftAnti"),
+    ],
+    ids=lambda x: str(x)[:28],
+)
+def test_expected_physical_operator(spark, name, needle):
+    assert needle in _plan(spark, name), name
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    p = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p  # predicate reached the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = m.group(1)
+    assert "l_partkey" not in cols and "l_tax" not in cols  # pruned
+    assert cols.count(":") == 6  # exactly the needed columns
+
+
+def test_part_string_filter_pushdown(spark):
+    p = _plan(spark, "filter_project_parts")
+    assert "StringContains(p_type,BRASS)" in p
+    assert "GreaterThanOrEqual(p_size,40)" in p
+
+
+def test_extraction_stage_is_narrow(spark):
+    """Stages 1+2 must plan with ZERO exchanges (pure mapInPandas over
+    the scan) — a shuffle here would be a 100TB-scale disaster."""
+    from clip_retrieval_spark.fixtures import pages_df
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import (
+        extract_and_triples_df,
+        extract_triples_df,
+    )
+
+    pages = pages_df(spark, 10)
+    for df in (
+        extract_triples_df(extract_pages(pages)),
+        extract_and_triples_df(pages),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        assert "Exchange" not in buf.getvalue()

@@ -481,7 +481,8 @@ _DOC_TOKENS_SQL = """
   WHERE tok <> ''
 """
 
-_MINHASH_K = 8  # 4 bands x 2 rows
+_MINHASH_K = 8
+_BAND_R = 4  # 2 bands x 4 rows
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -498,12 +499,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(_MINHASH_K)
         ]
     )
+    # 2 bands x 4 rows: deep bands keep candidate pairs sparse on
+    # high-mutual-Jaccard corpora (r=2 banding emitted ~40% of ALL
+    # pairs on the synthetic docs — LSH in name only)
     bands = None
-    for b in range(_MINHASH_K // 2):
+    for b in range(_MINHASH_K // _BAND_R):
         part = mh.select(
             "doc_id",
             F.lit(b).alias("band"),
-            F.md5(F.concat(f"mh{2 * b}", f"mh{2 * b + 1}")).alias("sig"),
+            F.md5(
+                F.concat(*[f"mh{_BAND_R * b + r}" for r in range(_BAND_R)])
+            ).alias("sig"),
         )
         bands = part if bands is None else bands.unionByName(part)
     left = bands.select("band", "sig", F.col("doc_id").alias("a"))
@@ -526,8 +532,10 @@ mh AS (
 ),
 bands AS (
   {' UNION ALL '.join(
-      f"SELECT doc_id, {b} AS band, md5(mh{2*b} || mh{2*b+1}) AS sig FROM mh"
-      for b in range(_MINHASH_K // 2)
+      f"SELECT doc_id, {b} AS band, "
+      f"md5({' || '.join(f'mh{_BAND_R*b+r}' for r in range(_BAND_R))}) "
+      f"AS sig FROM mh"
+      for b in range(_MINHASH_K // _BAND_R)
   )}
 )
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -876,29 +884,41 @@ SELECT qid, cid, score, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk
 def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (G2): all pairs with cosine >=
     0.35, exact O(n^2) at oracle scale — the LSH-blocked variant is the
-    engine's scale path (operators.lsh.candidate_pairs)."""
-    emb = _t(spark, sf, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    engine's scale path (operators.lsh.candidate_pairs).
+
+    Scored with a numpy-matmul pandas UDF against a closure-broadcast
+    corpus matrix (Catalyst higher-order aggregates don't enter codegen
+    — measured ~25 s interpreted vs ~2 s vectorized at sf0.1). float64
+    matmul differs from sequential accumulation by <= a few ulps, far
+    inside the round-6 guard the oracle shares."""
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()  # oracle-scale corpus (<=few k vectors)
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+    def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            B = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ) if len(pdf) else np.zeros((0, M.shape[1]))
+            S = np.round(B @ M.T, 6)
+            a_ids = pdf["vec_id"].to_numpy()
+            keep = (S >= 0.35) & (ids[None, :] > a_ids[:, None])
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "a": a_ids[ai],
+                    "b": ids[bj],
+                    "score": S[ai, bj],
+                }
+            )
+
     return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "score",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "ea", "eb",
-                        lambda x, y: x.cast("double") * y.cast("double"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("score") >= 0.35)
-        .select("a", "b", "score")
+        emb.mapInPandas(_go, schema="a long, b long, score double")
         .orderBy("a", "b")
     )
 

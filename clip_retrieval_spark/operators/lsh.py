@@ -31,40 +31,6 @@ def char_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, n_hashes: int = N_HASHES) -> Column:
-    """array<long> of length n_hashes: min over xxhash64(seed_i, gram)."""
-    def _hasher(seed: str):
-        # single-arg lambda: a 2-arg lambda would make transform() pass
-        # the array index as the second argument
-        return lambda g: F.xxhash64(F.lit(seed), g)
-
-    sigs = [
-        F.array_min(F.transform(shingles, _hasher(f"mh{i}")))
-        for i in range(n_hashes)
-    ]
-    return F.array(*sigs)
-
-
-def band_keys(
-    sig: Column, n_hashes: int = N_HASHES, band_rows: int = BAND_ROWS
-) -> Column:
-    """array<struct<band:int, sig:long>> — one bucket key per band."""
-    n_bands = n_hashes // band_rows
-    bands = []
-    for b in range(n_bands):
-        rows = [
-            F.element_at(sig, b * band_rows + r + 1)
-            for r in range(band_rows)
-        ]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*rows).alias("sig"),
-            )
-        )
-    return F.array(*bands)
-
-
 def lsh_explode(
     df: DataFrame,
     text_col: str,

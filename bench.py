@@ -62,6 +62,19 @@ def main() -> None:
         _force(fn(spark, sf_dir))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # the north metric: fused stage-1+2 triples/sec over a deterministic
+    # synthetic pages corpus scaled to the sf (600k pages/sf-unit)
+    from clip_retrieval_spark.fixtures import pages_df
+    from clip_retrieval_spark.operators.triples import extract_and_triples_df
+
+    n_pages = max(int(600_000 * float(sf)), 1000)
+    pages = pages_df(spark, n_pages)
+    t0 = time.monotonic()
+    tr = extract_and_triples_df(pages)
+    tr.write.format("noop").mode("overwrite").save()
+    kg_wall = time.monotonic() - t0
+    n_triples = tr.count()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -72,6 +85,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cpus": int(cpus),
+                "kg_pages": n_pages,
+                "kg_wall_sec": round(kg_wall, 3),
+                "kg_triples": n_triples,
+                "pages_per_sec": round(n_pages / kg_wall, 1),
+                "triples_per_sec": round(n_triples / kg_wall, 1),
             }
         )
     )

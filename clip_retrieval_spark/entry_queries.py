@@ -1111,6 +1111,32 @@ def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+
+
+def events_from_json_schema(spark: SparkSession, sf: str) -> DataFrame:
+    """from_json with an EXPLICIT schema (vs get_json_object string
+    pulls) — the schema-on-read -> enforced-schema move of SURVEY §1.3."""
+    ev = _t(spark, sf, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k int")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+            F.count(F.col("p.k")).alias("n_parsed"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_FROM_JSON_SQL = """
+SELECT event_type,
+       SUM(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+       COUNT(json_extract_string(props, '$.k'))::BIGINT    AS n_parsed
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 # ---------------------------------------------------------------------------
 # skew handling (salting is internal — results must equal the plain op)
 # ---------------------------------------------------------------------------
@@ -1204,6 +1230,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "events_hourly_rollup": (events_hourly_rollup, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, EVENTS_SESSIONIZE_SQL),
     "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
+    "events_from_json_schema": (events_from_json_schema, EVENTS_FROM_JSON_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),

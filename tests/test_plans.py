@@ -74,3 +74,13 @@ def test_extraction_stage_is_narrow(spark):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         assert "Exchange" not in buf.getvalue()
+
+
+def test_session_scale_configs(spark):
+    """The skew/AQE posture the engine documents must actually be set."""
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert conf.get("spark.sql.session.timeZone") == "UTC"

@@ -128,6 +128,32 @@ def test_rp_lsh_self_match(spark, vectors):
     assert top1 == {i: i for i in range(10)}
 
 
+def test_block_allpairs_cosine_exact(spark, vectors):
+    """The distributed block-pair range join must equal the exhaustive
+    numpy answer exactly (pairs, scores, no dups) for any block count."""
+    from clip_retrieval_spark.operators.similarity import (
+        block_allpairs_cosine,
+    )
+
+    rows = vectors.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    S = np.round(V @ V.T, 6)
+    iu = np.triu_indices(len(ids), 1)
+    keep = S[iu] >= 0.35
+    want = {
+        (int(ids[i]), int(ids[j])): S[i, j]
+        for i, j in zip(iu[0][keep], iu[1][keep])
+    }
+    for n_blocks in (1, 4, 7):
+        got_rows = block_allpairs_cosine(
+            vectors.select("vec_id", "embedding"), 0.35, n_blocks=n_blocks
+        ).collect()
+        got = {(r["a"], r["b"]): r["score"] for r in got_rows}
+        assert len(got_rows) == len(got), "duplicate pairs emitted"
+        assert got == want, (n_blocks, len(got), len(want))
+
+
 # --- multimodal plumbing -------------------------------------------------
 
 

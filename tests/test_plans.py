@@ -76,6 +76,23 @@ def test_extraction_stage_is_narrow(spark):
         assert "Exchange" not in buf.getvalue()
 
 
+def test_ann_lsh_single_corpus_scan(spark):
+    """rp_lsh_topk must scan each side ONCE (bucket array + explode),
+    not n_tables unionByName rescans — 2 scans total, not 24."""
+    # formatted explain prints each node twice (tree + details):
+    # 2 physical scans == 4 mentions (was 16 scans in the union form)
+    p = _plan(spark, "ann_lsh_bucketed")
+    assert p.count("Scan parquet") == 4, p.count("Scan parquet")
+
+
+def test_embedding_neardup_is_distributed(spark):
+    """The exact range self-join must be the block-pair applyInPandas
+    plan — never a driver-collected closure matrix."""
+    p = _plan(spark, "embedding_neardup_pairs")
+    assert "FlatMapGroupsInPandas" in p
+    assert "CollectLimit" not in p
+
+
 def test_session_scale_configs(spark):
     """The skew/AQE posture the engine documents must actually be set."""
     conf = spark.conf

@@ -1037,15 +1037,36 @@ ORDER BY url, sent_id, subj, obj
 
 
 def kg_mentions(spark: SparkSession, sf: str) -> DataFrame:
-    """Stage 3a (rows-only check: ids are engine-side content hashes)."""
+    """Stage 3a, oracle-checked: mentions are a pure function of the
+    deterministic page construction, so (url, sent_id, role, surface,
+    context) is exactly SQL-expressible. mention_id is projected out of
+    the compare (xxhash64 has no DuckDB twin); id stability/collision
+    behavior is unit-tested instead."""
     from clip_retrieval_spark.operators.extract import extract_pages
     from clip_retrieval_spark.operators.triples import extract_triples_df
     from clip_retrieval_spark.operators.embed import mentions_df
 
     tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
     return mentions_df(tr).select(
-        "mention_id", "url", "surface", "role"
+        "url", "sent_id", "role", "surface", "context"
     ).orderBy("url", "role", "surface")
+
+
+KG_MENTIONS_SQL = """
+WITH base AS (
+  SELECT 'https://' || source || '.example.com/doc-' || doc_id AS url,
+         1::INT AS sent_id,
+         'Entity' || (doc_id % 40)       AS subj,
+         'Entity' || ((doc_id * 7) % 40) AS obj
+  FROM documents
+)
+SELECT url, sent_id, 's' AS role, subj AS surface, 'acquired' AS context
+FROM base
+UNION ALL
+SELECT url, sent_id, 'o' AS role, obj AS surface, 'acquired' AS context
+FROM base
+ORDER BY url, role, surface
+"""
 
 
 def kg_links(spark: SparkSession, sf: str) -> DataFrame:
@@ -1060,8 +1081,63 @@ def kg_links(spark: SparkSession, sf: str) -> DataFrame:
     return link_topk(m, entities_df(m), k=3)
 
 
+def kg_links_rank1(spark: SparkSession, sf: str) -> DataFrame:
+    """Stage 3c invariant, oracle-checked: every distinct surface's
+    rank-1 link must be the IDENTICAL surface at cosine exactly 1.0 —
+    the LSH blocking must surface the self-pair and scoring must put it
+    first (embeddings are unit-norm and a pure function of the surface).
+    A blocking or scoring regression breaks this immediately. The full
+    top-k link table (hash ids, model scores) stays rows-only as
+    ``kg_links``."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.embed import entities_df, mentions_df
+    from clip_retrieval_spark.operators.link import surface_link_topk
+
+    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    m = mentions_df(tr)
+    e = entities_df(m)
+    sl = surface_link_topk(m, e, k=1)
+    linked = e.select(
+        "entity_id", F.col("surface").alias("linked_surface")
+    )
+    return (
+        sl.filter(F.col("rank") == 1)
+        .join(linked, "entity_id")
+        .select(
+            "surface", "linked_surface",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+            "rank",
+        )
+        .orderBy("surface")
+    )
+
+
+KG_LINKS_RANK1_SQL = """
+WITH surfaces AS (
+  SELECT DISTINCT 'Entity' || (doc_id % 40) AS surface FROM documents
+  UNION
+  SELECT DISTINCT 'Entity' || ((doc_id * 7) % 40) FROM documents
+)
+SELECT surface, surface AS linked_surface, 1.0::DOUBLE AS score,
+       1::INT AS rank
+FROM surfaces ORDER BY surface
+"""
+
+
 def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Stage 4 (rows-only): canonicalized KG edge table."""
+    """Stage 4, oracle-checked END-TO-END THROUGH SURFACES: triples ->
+    rank-1 surface links -> merge-CC canonical map -> edge table, with
+    canonical ids resolved to each component's lexicographic-min surface
+    (deterministic + SQL-expressible, unlike hash ids).
+
+    The merge threshold here is 0.95: the gate vocabulary is the closed
+    set Entity0..Entity39 whose maximum cross-surface embedding cosine
+    is 0.904 (measured, deterministic featurizer), so the expected
+    canonical grouping is the identity map and the oracle is exact.
+    True alias merging (threshold 0.85 on the fixtures corpus, which
+    contains real alias variants) is exercised in
+    tests/test_linking.py / tests/test_cc.py."""
     from clip_retrieval_spark.operators.extract import extract_pages
     from clip_retrieval_spark.operators.triples import extract_triples_df
     from clip_retrieval_spark.operators.embed import entities_df, mentions_df
@@ -1076,10 +1152,35 @@ def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
     m = mentions_df(tr)
     e = entities_df(m)
     surface_links = surface_link_topk(m, e, k=1)
-    nodes = canonical_map(e, entity_merge_edges(e))
-    return materialize_edges(tr, surface_links, nodes).select(
-        "canonical_subj", "pred", "canonical_obj", "url"
+    nodes = canonical_map(e, entity_merge_edges(e, threshold=0.95))
+    edges = materialize_edges(tr, surface_links, nodes)
+    rep = nodes.groupBy("canonical_id").agg(
+        F.min("surface").alias("_rep_surface")
     )
+    subj_rep = rep.select(
+        F.col("canonical_id").alias("canonical_subj"),
+        F.col("_rep_surface").alias("subj_surface"),
+    )
+    obj_rep = rep.select(
+        F.col("canonical_id").alias("canonical_obj"),
+        F.col("_rep_surface").alias("obj_surface"),
+    )
+    return (
+        edges.join(F.broadcast(subj_rep), "canonical_subj")
+        .join(F.broadcast(obj_rep), "canonical_obj")
+        .select("subj_surface", "pred", "obj_surface", "url")
+        .orderBy("url", "subj_surface", "obj_surface")
+    )
+
+
+KG_NODES_EDGES_SQL = """
+SELECT 'Entity' || (doc_id % 40)       AS subj_surface,
+       'acquired'                      AS pred,
+       'Entity' || ((doc_id * 7) % 40) AS obj_surface,
+       'https://' || source || '.example.com/doc-' || doc_id AS url
+FROM documents
+ORDER BY url, subj_surface, obj_surface
+"""
 
 
 
@@ -1181,14 +1282,64 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def near_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH + Jaccard-verify + CC near-dedup groups over
-    documents (rows-only: iterative CC is not SQL-expressible)."""
+    """MinHash-LSH blocking + exact-Jaccard verify + connected-components
+    near-dedup groups, oracle-checked: the verify step makes the merge
+    graph a pure function of the 0.8 threshold (not of banding luck), so
+    the oracle recomputes it EXHAUSTIVELY in SQL and resolves components
+    with a recursive CTE. Gate banding is 16 bands of 1 row (a qualifying
+    pair at j>=0.8 escapes all 16 buckets with p <= 0.2^16 ~ 7e-12; the
+    test corpus' qualifying pairs all sit at j>=0.9) and the bucket cap
+    is effectively off at gate scale so candidate recall is total.
+    Engine defaults (8x2 banding, cap 512) are exercised in
+    tests/test_library_ops.py."""
     from clip_retrieval_spark.operators.dedup import near_dedup_minhash
 
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     return near_dedup_minhash(
-        docs, "doc_id", "text", jaccard_threshold=0.8
-    )
+        docs, "doc_id", "text", jaccard_threshold=0.8,
+        n_hashes=16, band_rows=1, max_bucket=1 << 20,
+    ).orderBy("doc_id")
+
+
+NEAR_DEDUP_SQL = """
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tk[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(tk)-2, 1) + 1)])
+           AS shl
+  FROM toks
+),
+flat AS (SELECT doc_id, unnest(shl) AS g FROM sh),
+sizes AS (SELECT doc_id, len(shl)::BIGINT AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS c
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT a, b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE c::DOUBLE / (sa.sz + sb.sz - c) >= 0.8
+),
+edges AS (SELECT a AS s, b AS d FROM verified
+          UNION ALL SELECT b, a FROM verified),
+reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT d0.doc_id,
+       COALESCE(LEAST(MIN(r.d), d0.doc_id), d0.doc_id) AS canonical_id
+FROM documents d0 LEFT JOIN reach r ON r.s = d0.doc_id
+GROUP BY d0.doc_id ORDER BY d0.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1230,8 +1381,11 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     # shares the brute-force oracle: candidate recall is exact at the
     # gate params on this data (deterministic hyperplanes; see docstring)
     "ann_lsh_bucketed": (ann_lsh_bucketed, ANN_TOPK_SQL),
-    "near_dedup_documents": (near_dedup_documents, None),
-    "kg_mentions": (kg_mentions, None),
+    "near_dedup_documents": (near_dedup_documents, NEAR_DEDUP_SQL),
+    "kg_mentions": (kg_mentions, KG_MENTIONS_SQL),
+    # full link table keeps hash ids + model scores: rows-only by design;
+    # the rank-1 self-match invariant below is the oracle-checked slice
     "kg_links": (kg_links, None),
-    "kg_nodes_edges": (kg_nodes_edges, None),
+    "kg_links_rank1": (kg_links_rank1, KG_LINKS_RANK1_SQL),
+    "kg_nodes_edges": (kg_nodes_edges, KG_NODES_EDGES_SQL),
 }

@@ -483,13 +483,23 @@ _DOC_TOKENS_SQL = """
 
 _MINHASH_K = 8
 _BAND_R = 4  # 2 bands x 4 rows
+_MINHASH_BUCKET_CAP = 64
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (G2/J6): token shingles ->
-    8 md5-minhashes -> 4 bands of 2 -> bucket equi-join -> distinct pairs.
+    8 md5-minhashes -> 2 bands of 4 -> bucket equi-join (bucket size
+    capped at 64 on BOTH engines) -> distinct pairs.
     md5 hex strings are bit-identical across engines, and lexicographic
-    MIN over uniformly-distributed hex IS a valid minhash."""
+    MIN over uniformly-distributed hex IS a valid minhash.
+
+    The bucket cap is the classic LSH hot-bucket bound: a bucket of m
+    members emits m^2/2 pairs, and on this high-mutual-Jaccard corpus
+    the uncapped join emitted 6.6M band pairs at sf0.1 (270x the capped
+    count) — all from a handful of degenerate buckets that say "these
+    docs share boilerplate", not "near-duplicates". Over-cap buckets are
+    dropped as non-selective; the oracle applies the identical cap via a
+    window count, so the comparison stays exact."""
     toks = _doc_tokens(spark, sf)
     mh = toks.groupBy("doc_id").agg(
         *[
@@ -512,8 +522,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sig"),
         )
         bands = part if bands is None else bands.unionByName(part)
-    left = bands.select("band", "sig", F.col("doc_id").alias("a"))
-    right = bands.select("band", "sig", F.col("doc_id").alias("b"))
+    counts = bands.groupBy("band", "sig").agg(F.count("*").alias("_n"))
+    bounded = bands.join(
+        counts.filter(F.col("_n") <= _MINHASH_BUCKET_CAP), ["band", "sig"]
+    ).drop("_n")
+    left = bounded.select("band", "sig", F.col("doc_id").alias("a"))
+    right = bounded.select("band", "sig", F.col("doc_id").alias("b"))
     return (
         left.join(right, ["band", "sig"])
         .filter(F.col("a") < F.col("b"))
@@ -537,9 +551,16 @@ bands AS (
       f"AS sig FROM mh"
       for b in range(_MINHASH_K // _BAND_R)
   )}
+),
+bounded AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           COUNT(*) OVER (PARTITION BY band, sig) AS _n
+    FROM bands
+  ) WHERE _n <= {_MINHASH_BUCKET_CAP}
 )
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig
+FROM bounded l JOIN bounded r ON l.band = r.band AND l.sig = r.sig
 WHERE l.doc_id < r.doc_id
 ORDER BY a, b
 """
@@ -591,11 +612,29 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 """.format(toks=_DOC_TOKENS_SQL)
 
 
+_JACCARD_DF_CAP = 256
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """n-gram (token-set) Jaccard similarity join, blocked by ``source``:
-    |A∩B| via token equi-join, sizes via per-doc counts (J6 exact path)."""
+    """n-gram (token-set) Jaccard similarity join, blocked by ``source``
+    AND by a token-document-frequency cap: |A∩B| via token equi-join,
+    sizes via per-doc counts (J6 exact path).
+
+    The df cap is the scale bound: a token appearing in d docs of one
+    source is a hub join key contributing O(d^2) candidate rows, so
+    tokens with per-source df > 256 are excluded from the token-set
+    similarity as non-discriminative (standard similarity-join
+    prefiltering). Sizes are computed AFTER the cap and the oracle
+    applies the identical cap, so the engines agree exactly at every
+    scale while worst-case per-token fanout is a constant."""
     docs = _t(spark, sf, "documents").select("doc_id", "source")
-    toks = _doc_tokens(spark, sf).join(docs, "doc_id")
+    all_toks = _doc_tokens(spark, sf).join(docs, "doc_id")
+    tok_df = all_toks.groupBy("source", "tok").agg(
+        F.count("*").alias("_df")
+    )
+    toks = all_toks.join(
+        tok_df.filter(F.col("_df") <= _JACCARD_DF_CAP), ["source", "tok"]
+    ).drop("_df")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.select(
         F.col("source"), F.col("doc_id").alias("a"), F.col("tok")
@@ -627,9 +666,16 @@ def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DEDUP_JACCARD_SQL = """
-WITH toks AS (
+WITH all_toks AS (
   SELECT t.doc_id, t.tok, d.source
   FROM ({toks}) t JOIN documents d USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, tok, source FROM (
+    SELECT doc_id, tok, source,
+           COUNT(*) OVER (PARTITION BY source, tok) AS _df
+    FROM all_toks
+  ) WHERE _df <= __DF_CAP__
 ),
 sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
 inter AS (
@@ -644,7 +690,7 @@ JOIN sizes sa ON sa.doc_id = a
 JOIN sizes sb ON sb.doc_id = b
 WHERE ROUND(c / (sa.sz + sb.sz - c), 4) >= 0.5
 ORDER BY a, b
-""".format(toks=_DOC_TOKENS_SQL)
+""".format(toks=_DOC_TOKENS_SQL).replace("__DF_CAP__", str(_JACCARD_DF_CAP))
 
 
 # ---------------------------------------------------------------------------
@@ -947,6 +993,105 @@ FROM norms n1
 JOIN (SELECT label, COUNT(*)::BIGINT AS n FROM embeddings GROUP BY label) n2
   ON n1.label = n2.label
 ORDER BY n1.label
+"""
+
+
+def base64_roundtrip_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """base64/unbase64 surface (§2.8) — the reference moves embeddings
+    over HTTP as base64 (reference clip_back.py:84-87,234-236 and
+    clip_client.py:128-130: encode at the server, decode at the client).
+    Spark's ``base64`` emits the MIME-wrapped form (76-char lines); the
+    canonical unchunked encoding strips CR/LF, which DuckDB's
+    ``to_base64`` emits natively — verified bit-identical after the
+    strip. The roundtrip column proves decode(unbase64(.)) is inverse."""
+    d = _t(spark, sf, "documents")
+    b64 = F.regexp_replace(
+        F.base64(F.encode("text", "utf-8")), "[\\r\\n]", ""
+    )
+    return d.select(
+        "doc_id",
+        F.substring(b64, 1, 32).alias("b64_prefix"),
+        F.md5(b64).alias("b64_digest"),
+        (F.decode(F.unbase64(b64), "utf-8") == F.col("text")).alias(
+            "roundtrip_ok"
+        ),
+    ).orderBy("doc_id")
+
+
+BASE64_SQL = """
+WITH b AS (SELECT doc_id, text, to_base64(encode(text)) AS b64
+           FROM documents)
+SELECT doc_id,
+       substring(b64, 1, 32)                  AS b64_prefix,
+       md5(b64)                               AS b64_digest,
+       decode(from_base64(b64)) = text        AS roundtrip_ok
+FROM b ORDER BY doc_id
+"""
+
+
+def aesthetic_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Aesthetic-blend re-rank (reference clip_back.py:250-253:
+    query = normalize(query + weight * aesthetic_embedding), then knn):
+    blend each query vector with a fixed 'aesthetic' vector (vec_id 0)
+    via functions.vectors.blend and rank the corpus by the blended
+    cosine. The oracle computes the same score through the algebraic
+    identity dot(unit(q+w*a), c) = (dot(q,c)+w*dot(a,c)) / ||q+w*a||
+    using list_dot_product only — verified to agree at round-6."""
+    from clip_retrieval_spark.functions.vectors import blend, dot
+
+    emb = _t(spark, sf, "embeddings")
+    aest = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("a_emb")
+    )
+    q = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 5))
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"))
+        .crossJoin(F.broadcast(aest))
+        .withColumn("bq", blend("q_emb", "a_emb", 0.5))
+        .select("qid", "bq")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("score", F.round(dot("bq", "c_emb"), 6))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("qid", "cid", "score", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+AESTHETIC_RERANK_SQL = """
+WITH aest AS (SELECT embedding AS a FROM embeddings WHERE vec_id = 0),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id BETWEEN 1 AND 5),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         ROUND((list_dot_product(q.qv::DOUBLE[], c.embedding::DOUBLE[])
+                + 0.5 * list_dot_product(aest.a::DOUBLE[],
+                                         c.embedding::DOUBLE[]))
+               / sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[])
+                      + 2 * 0.5 * list_dot_product(q.qv::DOUBLE[],
+                                                   aest.a::DOUBLE[])
+                      + 0.5 * 0.5 * list_dot_product(aest.a::DOUBLE[],
+                                                     aest.a::DOUBLE[])),
+               6) AS score
+  FROM q, aest, embeddings c
+  WHERE c.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, cid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, cid ASC)::INT AS rnk
+  FROM scored
+)
+SELECT qid, cid, score, rnk FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk
 """
 
 
@@ -1372,6 +1517,8 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "token_stats": (token_stats, TOKEN_STATS_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FINGERPRINT_SQL),
     "ann_topk_bruteforce": (ann_topk_bruteforce, ANN_TOPK_SQL),
+    "base64_roundtrip_docs": (base64_roundtrip_docs, BASE64_SQL),
+    "aesthetic_rerank": (aesthetic_rerank, AESTHETIC_RERANK_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMB_NEARDUP_SQL),
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
     "kg_extract_text": (kg_extract_text, KG_EXTRACT_SQL),

@@ -101,9 +101,12 @@ def mentions_df(triples: DataFrame) -> DataFrame:
     m = subj.unionByName(obj).dropDuplicates(
         ["url", "sent_id", "role", "surface"]
     )
-    mid = F.abs(
-        F.xxhash64(F.lit("mention"), "url", "sent_id", "role", "surface")
-    )
+    # mask (not abs): abs folds the sign bit, doubling collision odds,
+    # and abs(Long.MIN_VALUE) stays negative — mask keeps all 63 bits
+    # (mirrors stable_id63's & 0x7FF... for the Python-side ids)
+    mid = F.xxhash64(
+        F.lit("mention"), "url", "sent_id", "role", "surface"
+    ).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
     return m.select(
         mid.alias("mention_id"), "url", "sent_id", "role", "surface",
         "context",
@@ -133,5 +136,8 @@ def surface_embeddings(surfaces: DataFrame) -> DataFrame:
 def entities_df(mentions: DataFrame) -> DataFrame:
     """Distinct surfaces -> entity table (the 'index' side of linking)."""
     return surface_embeddings(mentions).withColumn(
-        "entity_id", F.abs(F.xxhash64(F.lit("entity"), F.col("surface")))
+        "entity_id",
+        F.xxhash64(F.lit("entity"), F.col("surface")).bitwiseAND(
+            F.lit(0x7FFFFFFFFFFFFFFF)
+        ),
     ).select("entity_id", "surface", "embedding")

@@ -89,12 +89,25 @@ def candidate_pairs(
     max_bucket: int = 256,
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    oversize: str = "chain",
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from shared LSH buckets.
 
     Self-join on (band, sig) with a bucket-size cap: a bucket of size m
     contributes m^2 pairs, so unbounded hot buckets are the classic LSH
     blowup; capping keeps the join linear-ish at scale.
+
+    Over-cap buckets are NOT silently dropped (they are exactly the
+    largest duplicate clusters — dropping them means the corpus' worst
+    duplicates never merge). ``oversize="chain"`` emits a SPANNING chain
+    instead: members sorted by id, consecutive pairs only — m-1 edges
+    connect the whole bucket for downstream connected components at
+    linear (not quadratic) cost. The chain sort is one window task per
+    hot bucket (O(m log m), vs the m^2/2 join blowup). A verify step
+    downstream may cut individual chain links; near-identical texts
+    recur in most bands, so surviving links in other bands reconnect
+    true clusters in practice. ``oversize="drop"`` restores strict
+    selectivity (old behavior).
     """
     buckets = lsh_explode(
         entities.select(id_col, text_col), text_col, n_hashes, band_rows
@@ -107,9 +120,24 @@ def candidate_pairs(
     ).drop("_n")
     a = bounded.select("band", "sig", F.col(id_col).alias("a"))
     b = bounded.select("band", "sig", F.col(id_col).alias("b"))
-    return (
+    pairs = (
         a.join(b, ["band", "sig"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
     )
+    if oversize == "chain":
+        from pyspark.sql import Window
+
+        big = buckets.join(
+            counts.filter(F.col("_n") > max_bucket), ["band", "sig"]
+        ).drop("_n")
+        w = Window.partitionBy("band", "sig").orderBy(id_col)
+        chain = (
+            big.withColumn("_nx", F.lead(id_col).over(w))
+            .filter(F.col("_nx").isNotNull())
+            .select(F.col(id_col).alias("a"), F.col("_nx").alias("b"))
+        )
+        pairs = pairs.unionByName(chain)
+    elif oversize != "drop":
+        raise ValueError(f"oversize must be 'chain' or 'drop': {oversize}")
+    return pairs.distinct()

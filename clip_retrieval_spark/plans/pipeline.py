@@ -95,15 +95,19 @@ class KGPipeline:
         store.gc_uncommitted(stage, table)
         done = store.committed_buckets(stage)
         src = with_bucket(pages, self.n_buckets)
-        # cheap column-pruned scan: which buckets still need work?
-        pending_buckets = {
-            r["bucket"]
-            for r in src.select("bucket").distinct().collect()
-        } - done
+        # buckets are pmod(hash, n_buckets) — dense over range(n_buckets)
+        # by construction, so pending = range - committed comes straight
+        # from the ledger: NO job over the input table (a distinct-scan
+        # of 10^12 rows just to learn <= n_buckets values). Empty buckets
+        # commit a zero-row checkpoint the first time and drop out here.
+        pending_buckets = set(range(self.n_buckets)) - done
         if pending_buckets:
-            pending = src.filter(
-                F.col("bucket").isin(*sorted(pending_buckets))
-            )
+            if len(pending_buckets) < self.n_buckets:
+                pending = src.filter(
+                    F.col("bucket").isin(*sorted(pending_buckets))
+                )
+            else:
+                pending = src  # fresh run: no-op filter elided
             t0 = time.monotonic()
             out = transform(pending)
             if "bucket" not in out.columns:

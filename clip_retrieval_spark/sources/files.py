@@ -17,9 +17,16 @@ point — file wrangling happens once at ingest, not in every job.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _glob_escape(path: str) -> str:
+    """Escape Hadoop glob metacharacters so a literal folder path with
+    [ ] { } * ? in its name is loaded as-is, not expanded as a pattern."""
+    return re.sub(r"([\[\]{}*?\\])", r"\\\1", path)
 
 MODALITY_EXTS = {
     "text": (".txt",),
@@ -37,18 +44,21 @@ def folder_scan(
     df = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .load(folder)
+        .load(_glob_escape(folder))
     )
     cond = None
     for e in exts:
         c = F.col("path").endswith(e)
         cond = c if cond is None else (cond | c)
-    prefix = "file:" + os.path.abspath(folder).rstrip("/") + "/"
-    key = F.regexp_replace(
-        F.regexp_replace(F.col("path"), F.lit(prefix), ""),
-        r"\.[^.]+$",
-        "",
-    )
+    # strip the folder prefix POSITIONALLY (locate + substr), never as a
+    # regex: paths with regex metacharacters (+ ( [ .) would corrupt the
+    # key and silently empty the modality join. The scheme prefix
+    # ('file:', 's3a://'...) is whatever precedes the folder path in the
+    # URI — not hardcoded.
+    pfx = os.path.abspath(folder).rstrip("/") + "/"
+    start = F.locate(pfx, F.col("path")) + F.lit(len(pfx))
+    rel = F.col("path").substr(start, F.length("path"))
+    key = F.regexp_replace(rel, r"\.[^.]+$", "")
     return df.filter(cond).select(
         key.alias("key"),
         F.col("path"),

@@ -78,11 +78,23 @@ def rollup_metrics_once(
     Uses update mode + foreachBatch: in append mode a window only emits
     once the watermark passes it in a LATER batch, so a single
     drain-all batch would flush nothing.
+
+    The sink is partitioned by (minute, stage) with DYNAMIC partition
+    overwrite: update mode re-emits a window's cumulative row every
+    batch that touches it, so a plain append would leave N cumulative
+    rows per window and any summing consumer would double-count — the
+    overwrite makes the LAST update win and readers see exactly one row
+    per window.
     """
     src = spark.readStream.schema(METRICS_SCHEMA).json(metrics_dir)
 
     def _write(batch_df, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("minute", "stage")
+            .parquet(out_dir)
+        )
 
     q = (
         _rollup(src)

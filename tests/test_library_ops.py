@@ -230,6 +230,36 @@ def test_folder_scan_and_pairing(spark, tmp_path):
     assert bytes(rows["a"]["text"]) == b"caption a"
 
 
+def test_folder_scan_regex_metachar_path(spark, tmp_path):
+    """Folder names with regex metacharacters must not corrupt keys —
+    the prefix strip is positional (locate+substr), not a regex."""
+    from clip_retrieval_spark.sources.files import folder_scan
+
+    d = tmp_path / "c+orpus (v1.2) [x]"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha")
+    scanned = folder_scan(spark, str(d), (".txt",))
+    assert {r["key"] for r in scanned.collect()} == {"a"}
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    """S9/S10: many small files -> target_files, rows conserved."""
+    import os
+
+    from clip_retrieval_spark.sources.files import compact
+
+    src = spark.range(1000).repartition(16)
+    out = str(tmp_path / "compacted")
+    compact(src, out, target_files=2)
+    files = [
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) == 2
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert {r["id"] for r in got.collect()} == set(range(1000))
+
+
 # --- streaming metrics -----------------------------------------------------
 
 
@@ -258,6 +288,24 @@ def test_streaming_metrics_rollup(spark, tmp_path):
     rows = {(r["stage"]): (r["rows"], r["reports"]) for r in out.collect()}
     assert rows["extract"] == (150, 2)
     assert rows["triples"] == (700, 1)
+
+    # a late report lands in an already-emitted window: re-draining must
+    # UPDATE that window's row in place (dynamic partition overwrite),
+    # never append a second cumulative row a consumer would double-count
+    with open(mdir / "m2.jsonl", "w") as f:
+        f.write(json.dumps(
+            {"stage": "extract", "run_id": "r1", "at": 1700000020.0,
+             "rows": 25, "wall_ms": 250, "buckets": 1}
+        ) + "\n")
+    rollup_metrics_once(
+        spark, str(mdir), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    out2 = spark.read.parquet(str(tmp_path / "out"))
+    dup = out2.groupBy("minute", "stage").count().filter("count > 1")
+    assert dup.count() == 0
+    rows2 = {r["stage"]: (r["rows"], r["reports"]) for r in out2.collect()}
+    assert rows2["extract"] == (175, 3)
+    assert rows2["triples"] == (700, 1)
 
 
 # --- data clustering (O6) ---------------------------------------------------

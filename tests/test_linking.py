@@ -107,11 +107,18 @@ def test_topk_rank_contract(stage3):
 
 
 def test_candidate_pairs_bucket_cap(spark):
-    # 300 identical surfaces -> one hot bucket per band; cap excludes it
+    # 300 identical surfaces -> one hot bucket per band; over-cap buckets
+    # contribute a SPANNING CHAIN (m-1 consecutive-id pairs), never the
+    # m^2/2 blowup — and never silently vanish (duplicates must merge)
     from pyspark.sql import functions as F
 
     df = spark.range(300).select(
         F.col("id").alias("entity_id"), F.lit("Same Name").alias("surface")
     )
-    assert candidate_pairs(df, max_bucket=100).count() == 0
+    chained = candidate_pairs(df, max_bucket=100).collect()
+    assert len(chained) == 299
+    assert {(r["a"], r["b"]) for r in chained} == {
+        (i, i + 1) for i in range(299)
+    }  # consecutive ids: connects all 300 members
+    assert candidate_pairs(df, max_bucket=100, oversize="drop").count() == 0
     assert candidate_pairs(df, max_bucket=1000).count() == 300 * 299 // 2

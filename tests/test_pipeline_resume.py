@@ -59,18 +59,20 @@ def test_resume_skips_completed_buckets(spark, outdir):
     full = KGPipeline(spark, outdir + "-ref", n_buckets=BUCKETS)
     want = _triple_set(full.run(pages)["triples"])
 
-    # interrupted run: extraction committed for only 3 buckets
+    # interrupted run: data + checkpoint rows exist for 3 buckets only —
+    # exactly what a crash after a partial sequence of commits leaves
+    # (written through the store API, the state an interrupted run has)
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.plans.pipeline import with_bucket
+
     pipe1 = KGPipeline(spark, outdir, n_buckets=BUCKETS)
     store = pipe1.store
-    sub = pages.filter(
-        F.pmod(F.xxhash64("url"), F.lit(BUCKETS)).isin(0, 1, 2)
-    )
-    pipe1._run_bucketed_stage(
-        "extract", sub,
-        lambda p: __import__(
-            "clip_retrieval_spark.operators.extract",
-            fromlist=["extract_pages"],
-        ).extract_pages(p.drop("bucket")),
+    sub = with_bucket(pages, BUCKETS).filter(F.col("bucket").isin(0, 1, 2))
+    out = with_bucket(extract_pages(sub.drop("bucket")), BUCKETS)
+    store.append_bucketed(out, "text_extracted")
+    store.commit_buckets(
+        "extract", store.bucket_counts("text_extracted", [0, 1, 2]),
+        0, pipe1.run_id,
     )
     committed_before = store.committed_buckets("extract")
     assert committed_before == {0, 1, 2}
@@ -114,6 +116,26 @@ def test_gc_uncommitted_buckets(spark, outdir):
     tables = pipe.run(pages)
     assert tables["text_extracted"].count() == 40
     assert tables["text_extracted"].filter("bucket = 9999").count() == 0
+
+
+def test_resume_never_scans_input_when_committed(spark, outdir):
+    """Pending buckets are enumerated from the LEDGER (range(n_buckets)
+    minus committed), never by scanning the input: on a fully-committed
+    resume, an input whose evaluation raises must never be touched."""
+    from clip_retrieval_spark.fixtures import PAGES_SCHEMA
+
+    pages = pages_df(spark, 60)
+    pipe1 = KGPipeline(spark, outdir, n_buckets=4)
+    n_triples = pipe1.run(pages)["triples"].count()
+
+    def _boom(_batches):
+        raise RuntimeError("resume scanned the input table")
+        yield  # noqa: unreachable — makes this a generator
+
+    poisoned = pages.mapInPandas(_boom, schema=PAGES_SCHEMA)
+    pipe2 = KGPipeline(spark, outdir, n_buckets=4)
+    tables = pipe2.run(poisoned)
+    assert tables["triples"].count() == n_triples
 
 
 def test_rerun_is_idempotent(spark, outdir):

@@ -1,0 +1,209 @@
+"""Programmatic single-query API — the Spark-native counterpart of the
+reference's most-used public surface (reference clip_client.py:20-94:
+``ClipClient.query(text=..., image=..., embedding_input=...)`` with
+mutual-exclusion validation, and the knn-service options deduplicate /
+safety / aesthetic re-rank at clip_back.py:250-324).
+
+Differences by design: there is no HTTP hop — the "index" is a Spark
+entity table (entity_id, surface, embedding) and a query plans ONE Spark
+job (broadcast single-query crossJoin + top-k window). Batch users call
+``query_batch`` which runs all queries in the same job (the reference
+answers one request at a time, clip_back.py:472-507).
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clip_retrieval_spark.functions.vectors import blend, dot
+from clip_retrieval_spark.operators.embed import DIM, embed_batch
+
+
+def decode_embedding_b64(payload: str, dim: int = DIM) -> list[float]:
+    """base64 -> float32 little-endian vector (the wire format of the
+    reference, clip_back.py:234-236: np.frombuffer(base64.b64decode(.),
+    float32)). Raises ValueError on length mismatch."""
+    raw = _b64.b64decode(payload, validate=True)
+    vec = np.frombuffer(raw, dtype="<f4")
+    if vec.shape[0] != dim:
+        raise ValueError(
+            f"embedding_b64 decodes to {vec.shape[0]} dims, expected {dim}"
+        )
+    return [float(x) for x in vec]
+
+
+class KGClient:
+    """Query a (entity_id, surface, embedding) table by text or vector.
+
+    Input validation mirrors the reference's P8 contract
+    (clip_client.py:83-94): exactly ONE of ``text`` / ``embedding`` /
+    ``embedding_b64`` per query; anything else raises ValueError before
+    any Spark job runs.
+    """
+
+    def __init__(
+        self,
+        entities: DataFrame,
+        k: int = 10,
+        min_score: float = 0.0,
+        deduplicate: bool = True,
+        aesthetic_embedding: list[float] | None = None,
+        aesthetic_weight: float = 0.0,
+        use_safety_filter: bool = False,
+        safety_threshold: float = 0.5,
+        dim: int = DIM,
+    ) -> None:
+        for col in ("entity_id", "surface", "embedding"):
+            if col not in entities.columns:
+                raise ValueError(f"entity table is missing column {col!r}")
+        if not 1 <= k:
+            raise ValueError(f"k must be >= 1: {k}")
+        if aesthetic_weight and aesthetic_embedding is None:
+            raise ValueError(
+                "aesthetic_weight set but no aesthetic_embedding given"
+            )
+        self.entities = entities
+        self.k = k
+        self.min_score = min_score
+        self.deduplicate = deduplicate
+        self.aesthetic_embedding = aesthetic_embedding
+        self.aesthetic_weight = aesthetic_weight
+        self.use_safety_filter = use_safety_filter
+        self.safety_threshold = safety_threshold
+        self.dim = dim
+
+    # -- validation (P8) ---------------------------------------------------
+
+    def _to_vector(
+        self,
+        text: str | None,
+        embedding: list[float] | None,
+        embedding_b64: str | None,
+    ) -> list[float]:
+        given = [
+            name
+            for name, v in (
+                ("text", text),
+                ("embedding", embedding),
+                ("embedding_b64", embedding_b64),
+            )
+            if v is not None
+        ]
+        if len(given) == 0:
+            raise ValueError(
+                "one of text / embedding / embedding_b64 must be provided"
+            )
+        if len(given) > 1:
+            raise ValueError(
+                f"only one query input allowed, got {' + '.join(given)}"
+            )
+        if text is not None:
+            import pandas as pd
+
+            return [float(x) for x in embed_batch(pd.Series([text]))[0]]
+        if embedding_b64 is not None:
+            return decode_embedding_b64(embedding_b64, self.dim)
+        vec = [float(x) for x in embedding]  # type: ignore[union-attr]
+        if len(vec) != self.dim:
+            raise ValueError(
+                f"embedding has {len(vec)} dims, expected {self.dim}"
+            )
+        return vec
+
+    # -- search -------------------------------------------------------------
+
+    def query_df(self, queries: list[tuple[int, list[float]]]) -> DataFrame:
+        """(qid, vector) list -> DataFrame(qid, entity_id, surface,
+        similarity, rank). One Spark job for the whole batch: the tiny
+        query side is broadcast and the entity table streams through a
+        single scan."""
+        spark = self.entities.sparkSession
+        q = spark.createDataFrame(
+            queries, "qid int, q_emb array<float>"
+        )
+        ents = self.entities
+        if self.use_safety_filter:
+            from clip_retrieval_spark.operators.safety import safety_filter
+
+            ents = safety_filter(ents, self.safety_threshold)
+        if self.aesthetic_embedding is not None and self.aesthetic_weight:
+            a = F.array(
+                *[F.lit(float(x)) for x in self.aesthetic_embedding]
+            )
+            q = q.withColumn(
+                "q_emb", blend("q_emb", a, self.aesthetic_weight)
+            )
+        scored = (
+            ents.crossJoin(F.broadcast(q))
+            .withColumn("similarity", dot("q_emb", "embedding"))
+            .filter(F.col("similarity") >= self.min_score)
+        )
+        if self.deduplicate:
+            # the reference's result dedup (clip_back.py:257-268: hash of
+            # the rounded embedding, keep first) — pin 'first' to min id
+            ehash = F.xxhash64(
+                F.transform("embedding", lambda x: F.round(x, 4))
+            )
+            wd = Window.partitionBy("qid", ehash).orderBy(
+                F.desc("similarity"), F.asc("entity_id")
+            )
+            scored = (
+                scored.withColumn("_dup", F.row_number().over(wd))
+                .filter("_dup = 1")
+                .drop("_dup")
+            )
+        w = Window.partitionBy("qid").orderBy(
+            F.desc("similarity"), F.asc("entity_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= self.k)
+            .select("qid", "entity_id", "surface", "similarity", "rank")
+        )
+
+    def query(
+        self,
+        text: str | None = None,
+        embedding: list[float] | None = None,
+        embedding_b64: str | None = None,
+    ) -> list[dict]:
+        """Single query -> list of result dicts ordered by rank (the
+        reference's response shape, clip_client.py:70-80)."""
+        vec = self._to_vector(text, embedding, embedding_b64)
+        rows = self.query_df([(0, vec)]).orderBy("rank").collect()
+        return [
+            {
+                "id": r["entity_id"],
+                "surface": r["surface"],
+                "similarity": float(r["similarity"]),
+                "rank": r["rank"],
+            }
+            for r in rows
+        ]
+
+    def query_batch(self, texts: list[str]) -> dict[str, list[dict]]:
+        """Many text queries in ONE Spark job -> {text: results}."""
+        import pandas as pd
+
+        if not texts:
+            return {}
+        vecs = embed_batch(pd.Series(texts))
+        out = self.query_df(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        ).collect()
+        results: dict[str, list[dict]] = {t: [] for t in texts}
+        for r in sorted(out, key=lambda r: (r["qid"], r["rank"])):
+            results[texts[r["qid"]]].append(
+                {
+                    "id": r["entity_id"],
+                    "surface": r["surface"],
+                    "similarity": float(r["similarity"]),
+                    "rank": r["rank"],
+                }
+            )
+        return results

@@ -1,0 +1,115 @@
+"""KGClient — the reference clip_client.py query surface restated for a
+Spark entity table: mutual-exclusion validation (P8), text/vector/base64
+inputs, dedup, aesthetic re-rank, batch queries in one job."""
+
+from __future__ import annotations
+
+import base64
+import struct
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from clip_retrieval_spark.api import KGClient, decode_embedding_b64
+from clip_retrieval_spark.operators.embed import DIM, embed_batch
+
+
+@pytest.fixture(scope="module")
+def entities(spark):
+    import pandas as pd
+
+    surfaces = [
+        "Acme Corp", "Acme Corporation", "Globex", "Initech",
+        "Umbrella Labs", "Stark Industries", "Wayne Enterprises", "Hooli",
+    ]
+    vecs = embed_batch(pd.Series(surfaces))
+    rows = [
+        (i, s, [float(x) for x in v])
+        for i, (s, v) in enumerate(zip(surfaces, vecs))
+    ]
+    return spark.createDataFrame(
+        rows, "entity_id long, surface string, embedding array<float>"
+    ).cache()
+
+
+def test_query_validation(entities):
+    c = KGClient(entities, k=3)
+    with pytest.raises(ValueError, match="one of text"):
+        c.query()
+    with pytest.raises(ValueError, match="only one query input"):
+        c.query(text="acme", embedding=[0.0] * DIM)
+    with pytest.raises(ValueError, match="expected"):
+        c.query(embedding=[0.0, 1.0])  # wrong dim
+    with pytest.raises(ValueError, match="missing column"):
+        KGClient(entities.drop("surface"))
+    with pytest.raises(ValueError, match="aesthetic_weight"):
+        KGClient(entities, aesthetic_weight=0.5)
+
+
+def test_query_by_text_finds_exact_surface(entities):
+    c = KGClient(entities, k=3)
+    got = c.query(text="Globex")
+    assert got[0]["surface"] == "Globex"
+    assert got[0]["rank"] == 1
+    assert abs(got[0]["similarity"] - 1.0) < 1e-6
+    assert [r["rank"] for r in got] == [1, 2, 3]
+
+
+def test_query_by_embedding_and_b64_agree(entities):
+    import pandas as pd
+
+    c = KGClient(entities, k=3)
+    vec = [float(x) for x in embed_batch(pd.Series(["Initech"]))[0]]
+    by_vec = c.query(embedding=vec)
+    payload = base64.b64encode(
+        np.asarray(vec, dtype="<f4").tobytes()
+    ).decode()
+    by_b64 = c.query(embedding_b64=payload)
+    assert by_vec == by_b64
+    assert by_vec[0]["surface"] == "Initech"
+
+
+def test_decode_embedding_b64_rejects_bad_length():
+    short = base64.b64encode(struct.pack("<2f", 1.0, 2.0)).decode()
+    with pytest.raises(ValueError, match="dims"):
+        decode_embedding_b64(short, dim=DIM)
+
+
+def test_deduplicate_drops_identical_embeddings(spark, entities):
+    # duplicate every entity under a new id: dedup must collapse each
+    # embedding-identical pair to its min-id representative
+    dups = entities.withColumn("entity_id", F.col("entity_id") + 100)
+    both = entities.unionByName(dups)
+    got = KGClient(both, k=8, deduplicate=True, min_score=-1.0).query(
+        text="Acme Corp"
+    )
+    ids = [r["id"] for r in got]
+    assert len(ids) == 8 and all(i < 100 for i in ids)
+    got_nodedup = KGClient(
+        both, k=16, deduplicate=False, min_score=-1.0
+    ).query(text="Acme Corp")
+    assert len(got_nodedup) == 16
+
+
+def test_aesthetic_reranking_changes_order(entities):
+    import pandas as pd
+
+    plain = KGClient(entities, k=8).query(text="Acme")
+    aest_vec = [float(x) for x in embed_batch(pd.Series(["Hooli"]))[0]]
+    blended = KGClient(
+        entities, k=8,
+        aesthetic_embedding=aest_vec, aesthetic_weight=0.9,
+    ).query(text="Acme")
+    # blending hard toward the Hooli direction must promote Hooli
+    rank_of = lambda res, s: next(r["rank"] for r in res if r["surface"] == s)
+    assert rank_of(blended, "Hooli") < rank_of(plain, "Hooli")
+
+
+def test_query_batch_one_job_matches_single(entities):
+    c = KGClient(entities, k=2)
+    batch = c.query_batch(["Globex", "Stark Industries"])
+    assert set(batch) == {"Globex", "Stark Industries"}
+    assert batch["Globex"] == c.query(text="Globex")
+    assert batch["Stark Industries"] == c.query(text="Stark Industries")

@@ -129,6 +129,7 @@ class TableStore:
         run_id: str,
     ) -> None:
         """Write checkpoint rows AFTER the stage's data write succeeded."""
+        self._gc_pending_commit_dir("_checkpoints")
         rows = [
             (stage, int(b), int(n), int(wall_ms), "done", run_id)
             for b, n in sorted(bucket_rows.items())
@@ -140,9 +141,23 @@ class TableStore:
             .parquet(self.path("_checkpoints"))
         )
 
+    def _gc_pending_commit_dir(self, table: str) -> None:
+        """Remove a dead run's Hadoop committer pending dir. A SIGKILL
+        between task commit and job commit leaves finished task files
+        under ``<table>/_temporary/0/`` — and a LATER append job reuses
+        the same pending dir (job attempt id is 0 for every fresh app),
+        so its job commit would merge the stale task outputs into the
+        table alongside the recomputation: silent duplicate rows. Called
+        before any append to a table this store owns; never concurrent
+        with a live writer (one driver owns a run)."""
+        tmp = os.path.join(self.path(table), "_temporary")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def gc_uncommitted(self, stage: str, table: str) -> list[int]:
         """Delete bucket dirs that have data but no checkpoint row —
         leftovers of an interrupted run (they will be recomputed)."""
+        self._gc_pending_commit_dir(table)
         tdir = self.path(table)
         if not os.path.isdir(tdir):
             return []

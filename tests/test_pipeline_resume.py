@@ -118,6 +118,39 @@ def test_gc_uncommitted_buckets(spark, outdir):
     assert tables["text_extracted"].filter("bucket = 9999").count() == 0
 
 
+def test_stale_committer_pending_dir_is_gc_ed(spark, outdir):
+    """A SIGKILL between TASK commit and JOB commit parks finished task
+    files under <table>/_temporary/0/ — and every fresh application's
+    append job reuses that same pending dir (job attempt id 0), so its
+    job commit would merge the dead run's files into the table as
+    silent duplicate rows. gc must clear the pending dir before the
+    resume run appends (regression for the kill-resume duplication)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages = pages_df(spark, 40)
+    stale = os.path.join(
+        outdir, "text_extracted", "_temporary", "0",
+        "task_202501010000_0001_m_000000", "bucket=0",
+    )
+    os.makedirs(stale)
+    pq.write_table(
+        pa.table({"url": ["junk://stale"], "text": ["stale"]}),
+        os.path.join(stale, "part-00000-stale.parquet"),
+    )
+    pipe = KGPipeline(spark, outdir, n_buckets=4)
+    tables = pipe.run(pages)
+    assert tables["text_extracted"].count() == 40
+    assert (
+        tables["text_extracted"].filter("url LIKE 'junk%'").count() == 0
+    )
+    assert not os.path.isdir(
+        os.path.join(outdir, "text_extracted", "_temporary")
+    )
+
+
 def test_resume_never_scans_input_when_committed(spark, outdir):
     """Pending buckets are enumerated from the LEDGER (range(n_buckets)
     minus committed), never by scanning the input: on a fully-committed

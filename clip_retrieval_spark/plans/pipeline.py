@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clip_retrieval_spark.io import TableStore
+from clip_retrieval_spark.procstat import tree_cpu_seconds
 from clip_retrieval_spark.operators.embed import entities_df, mentions_df
 from clip_retrieval_spark.operators.extract import extract_pages
 from clip_retrieval_spark.operators.link import surface_link_topk
@@ -82,6 +83,17 @@ class KGPipeline:
         self.link_k = link_k
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.materialize_text = materialize_text
+        # per-stage {wall_ms, cpu_ms} for this run (cpu = whole process
+        # tree incl. python workers — see procstat); feeds the N-vs-4N
+        # utilization evidence in jobs/bench_scaling.py
+        self.stage_metrics: dict[str, dict[str, int]] = {}
+
+    def _record_stage(self, stage: str, wall_ms: int, cpu_ms: int,
+                      **extra) -> None:
+        self.stage_metrics[stage] = {"wall_ms": wall_ms, "cpu_ms": cpu_ms}
+        self.store.log_metrics(
+            stage, self.run_id, wall_ms=wall_ms, cpu_ms=cpu_ms, **extra
+        )
 
     # -- bucket-granular narrow stage ------------------------------------
 
@@ -109,19 +121,21 @@ class KGPipeline:
             else:
                 pending = src  # fresh run: no-op filter elided
             t0 = time.monotonic()
+            c0 = tree_cpu_seconds()
             out = transform(pending)
             if "bucket" not in out.columns:
                 out = with_bucket(out, self.n_buckets)
             store.append_bucketed(out, table)
             wall_ms = int((time.monotonic() - t0) * 1000)
+            cpu_ms = int((tree_cpu_seconds() - c0) * 1000)
             # per-bucket lineage from parquet footers (no re-scan);
             # pending bucket dirs were gc'd, so they hold exactly the
             # rows this run wrote. zero-row buckets commit too.
             counts = store.bucket_counts(table, sorted(pending_buckets))
             store.commit_buckets(stage, counts, wall_ms, self.run_id)
-            store.log_metrics(
-                stage, self.run_id, rows=sum(counts.values()),
-                wall_ms=wall_ms, buckets=len(counts),
+            self._record_stage(
+                stage, wall_ms, cpu_ms,
+                rows=sum(counts.values()), buckets=len(counts),
             )
         return store.read(table)
 
@@ -133,12 +147,14 @@ class KGPipeline:
         if -1 in store.committed_buckets(stage):
             return store.read(table)
         t0 = time.monotonic()
+        c0 = tree_cpu_seconds()
         df = compute()
         store.write(df, table)
         wall_ms = int((time.monotonic() - t0) * 1000)
+        cpu_ms = int((tree_cpu_seconds() - c0) * 1000)
         n = store.fast_count(table)
         store.commit_buckets(stage, {-1: n}, wall_ms, self.run_id)
-        store.log_metrics(stage, self.run_id, rows=n, wall_ms=wall_ms)
+        self._record_stage(stage, wall_ms, cpu_ms, rows=n)
         return store.read(table)
 
     def table_counts(self) -> dict[str, int]:

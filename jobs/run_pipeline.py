@@ -27,6 +27,7 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from clip_retrieval_spark.fixtures import pages_df  # noqa: E402
 from clip_retrieval_spark.plans.pipeline import KGPipeline  # noqa: E402
+from clip_retrieval_spark.procstat import tree_cpu_seconds  # noqa: E402
 from clip_retrieval_spark.session import get_spark  # noqa: E402
 
 
@@ -68,6 +69,7 @@ def main() -> None:
         pages = pages_df(spark, args.n_pages)
 
     t0 = time.monotonic()
+    c0 = tree_cpu_seconds()
     pipe = KGPipeline(
         spark, args.out, n_buckets=args.n_buckets,
         materialize_text=not args.no_text,
@@ -80,14 +82,22 @@ def main() -> None:
     else:
         n_pages = counts.get("text_extracted") or pages.count()
     wall = time.monotonic() - t0
+    # whole-tree CPU (JVM + python workers — executorCpuTime misses the
+    # latter, which dominate a pandas-UDF pipeline); utilization =
+    # hardware threads actually kept busy per second of wall clock,
+    # the saturation evidence behind the scaling-efficiency claim
+    cpu = tree_cpu_seconds() - c0
     print(
         json.dumps(
             {
                 "run_id": pipe.run_id,
                 "n_pages": n_pages,
                 "wall_sec": round(wall, 2),
+                "cpu_sec": round(cpu, 2),
+                "utilization_threads": round(cpu / wall, 2),
                 "pages_per_sec": round(n_pages / wall, 1),
                 "triples_per_sec": round(counts["triples"] / wall, 1),
+                "stage_metrics": pipe.stage_metrics,
                 "counts": counts,
             }
         )

@@ -1488,6 +1488,196 @@ GROUP BY d0.doc_id ORDER BY d0.doc_id
 
 
 # ---------------------------------------------------------------------------
+# temporal + graph analytics (engine additions beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+def events_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    click at-or-before the purchase instant (operators.asof — one
+    keyed shuffle + running window; no range-join blowup). Ties between
+    same-instant clicks resolve to the highest event_id on both engines."""
+    from clip_retrieval_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(purchases, clicks, on="user_id", tie_break="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("right_event_id").alias("last_click_id"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_SQL = """
+WITH merged AS (
+  SELECT user_id, ts, 0 AS side, event_id AS cid, NULL::BIGINT AS pid
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS side, NULL::BIGINT AS cid, event_id AS pid
+  FROM events WHERE event_type = 'purchase'
+),
+carried AS (
+  SELECT user_id, ts, pid,
+         LAST_VALUE(cid IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, cid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS last_click_id
+  FROM merged
+)
+SELECT pid AS event_id, user_id, ts, last_click_id
+FROM carried WHERE pid IS NOT NULL ORDER BY event_id
+"""
+
+
+def _ps_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic bipartite graph: part<->supplier edges that appear
+    in lineitem (a KG-shaped edge table with real hub skew)."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).distinct()
+
+
+_PS_EDGES_SQL = """
+  SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+                  's' || l_suppkey::VARCHAR AS dst
+  FROM lineitem
+"""
+
+
+def kg_degree_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree histogram of the part-supplier graph (hub detection over
+    materialized KG edges; operators.graph.degree_stats — two algebraic
+    aggregations)."""
+    from clip_retrieval_spark.operators.graph import degree_stats
+
+    return (
+        degree_stats(_ps_edges(spark, sf))
+        .select(F.col("degree").cast("long"), F.col("n_nodes").cast("long"))
+        .orderBy("degree")
+    )
+
+
+KG_DEGREE_SQL = f"""
+WITH edges0 AS ({_PS_EDGES_SQL}),
+und AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+deg AS (SELECT src AS node, COUNT(*)::BIGINT AS degree FROM und GROUP BY 1)
+SELECT degree, COUNT(*)::BIGINT AS n_nodes
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+def kg_pagerank3(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-3-iteration PageRank over the part-supplier graph
+    (operators.graph.pagerank: one join + one map-side-combinable
+    groupBy per round, localCheckpoint lineage truncation). Per-round
+    ranks rounded to 9 decimals on BOTH engines so float-association
+    order can't compound; final report at 6."""
+    from clip_retrieval_spark.operators.graph import pagerank
+
+    pr = pagerank(_ps_edges(spark, sf), iterations=3)
+    return pr.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+_PR_ROUND = "ROUND(0.15 + 0.85 * SUM(r.rank / d.deg), 9)"
+KG_PAGERANK_SQL = f"""
+WITH edges0 AS ({_PS_EDGES_SQL}),
+und AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+deg AS (SELECT src AS node, COUNT(*)::BIGINT AS deg FROM und GROUP BY 1),
+r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM deg),
+r1 AS (SELECT u.dst AS node, {_PR_ROUND} AS rank
+       FROM und u JOIN deg d ON u.src = d.node JOIN r0 r ON u.src = r.node
+       GROUP BY u.dst),
+r2 AS (SELECT u.dst AS node, {_PR_ROUND} AS rank
+       FROM und u JOIN deg d ON u.src = d.node JOIN r1 r ON u.src = r.node
+       GROUP BY u.dst),
+r3 AS (SELECT u.dst AS node, {_PR_ROUND} AS rank
+       FROM und u JOIN deg d ON u.src = d.node JOIN r2 r ON u.src = r.node
+       GROUP BY u.dst)
+SELECT node, ROUND(rank, 6) AS rank FROM r3 ORDER BY node
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-5 (operators.similarity.ivf_topk — the faiss-IVF
+    analog, reference clip_back.py:343-399): 16 deterministic centroids
+    (embeddings 0..15 as the coarse codebook), nprobe=4. The oracle
+    mirrors the IVF semantics EXACTLY in SQL (assignment, probe, rescore
+    — not a recall bet against brute force)."""
+    from clip_retrieval_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).selectExpr(
+        "vec_id AS qid", "embedding AS q_emb"
+    )
+    c = emb.selectExpr("vec_id AS cid", "embedding AS c_emb")
+    return (
+        ivf_topk(
+            q, c, cents, k=5, nprobe=4, exclude_self=True, round_to=6
+        )
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+ANN_IVF_SQL = """
+WITH cents AS (
+  SELECT vec_id::INT AS cell_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 16
+),
+assigned AS (
+  SELECT cid, c_emb, cell_id FROM (
+    SELECT c.vec_id AS cid, c.embedding AS c_emb, ct.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY ROUND(list_dot_product(c.embedding::DOUBLE[],
+                                             ct.centroid::DOUBLE[]), 6)
+                      DESC, ct.cell_id ASC) AS r
+    FROM embeddings c CROSS JOIN cents ct
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT qid, q_emb, cell_id FROM (
+    SELECT q.vec_id AS qid, q.embedding AS q_emb, ct.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.embedding::DOUBLE[],
+                                             ct.centroid::DOUBLE[]), 6)
+                      DESC, ct.cell_id ASC) AS r
+    FROM embeddings q CROSS JOIN cents ct WHERE q.vec_id < 10
+  ) WHERE r <= 4
+),
+cand AS (
+  SELECT p.qid, a.cid,
+         ROUND(list_dot_product(p.q_emb::DOUBLE[], a.c_emb::DOUBLE[]), 6)
+           AS score
+  FROM probes p JOIN assigned a ON p.cell_id = a.cell_id
+  WHERE p.qid <> a.cid
+)
+SELECT qid, cid, score, rnk FROM (
+  SELECT qid, cid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, cid ASC)::INT AS rnk
+  FROM cand
+) WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1535,4 +1725,8 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "kg_links": (kg_links, None),
     "kg_links_rank1": (kg_links_rank1, KG_LINKS_RANK1_SQL),
     "kg_nodes_edges": (kg_nodes_edges, KG_NODES_EDGES_SQL),
+    "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
+    "kg_degree_stats": (kg_degree_stats, KG_DEGREE_SQL),
+    "kg_pagerank3": (kg_pagerank3, KG_PAGERANK_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }

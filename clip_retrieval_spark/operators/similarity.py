@@ -197,6 +197,72 @@ def rp_lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    q_id: str = "qid",
+    c_id: str = "cid",
+    q_emb: str = "q_emb",
+    c_emb: str = "c_emb",
+    cell_id: str = "cell_id",
+    cent_emb: str = "centroid",
+    exclude_self: bool = False,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-style ANN — the direct analog of the reference's faiss
+    inverted-file index (coarse quantizer -> nprobe cell probe -> exact
+    re-score; reference clip_back.py:343-399 + the IVF training in
+    docs). Unlike ``rp_lsh_topk`` the partition is learned/supplied
+    (``centroids``: one row per cell), not random, so cell population
+    tracks the data distribution.
+
+    Physical plan, all JVM expressions:
+      1. assign: corpus x broadcast(centroids) -> dot -> row_number()==1
+         (the coarse quantizer; |C| is small by construction, so the
+         blowup is |corpus| x |C| narrow rows into a map-side window).
+      2. probe:  queries x broadcast(centroids) -> top-nprobe cells.
+      3. probe-join on cell — broadcast on the (small) query side, so
+         the corpus never shuffles; exact cosine -> window top-k.
+    Scores are rounded BEFORE every ranking step so tie-breaks are
+    reproducible across engines (the oracle contract).
+    """
+    def _rounded(col: Column) -> Column:
+        return F.round(col, round_to) if round_to is not None else col
+
+    cents = F.broadcast(centroids.select(cell_id, cent_emb))
+    aw = Window.partitionBy(c_id).orderBy(
+        F.desc("_cs"), F.asc(cell_id)
+    )
+    assigned = (
+        corpus.crossJoin(cents)
+        .withColumn("_cs", _rounded(dot(c_emb, cent_emb)))
+        .withColumn("_r", F.row_number().over(aw))
+        .filter(F.col("_r") == 1)
+        .select(c_id, c_emb, cell_id)
+    )
+    pw = Window.partitionBy(q_id).orderBy(F.desc("_qs"), F.asc(cell_id))
+    probes = (
+        queries.crossJoin(cents)
+        .withColumn("_qs", _rounded(dot(q_emb, cent_emb)))
+        .withColumn("_r", F.row_number().over(pw))
+        .filter(F.col("_r") <= nprobe)
+        .select(q_id, q_emb, cell_id)
+    )
+    cand = assigned.join(F.broadcast(probes), cell_id)
+    if exclude_self:
+        cand = cand.filter(F.col(q_id) != F.col(c_id))
+    scored = cand.withColumn("score", _rounded(dot(q_emb, c_emb)))
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "score", "rank")
+    )
+
+
 def block_allpairs_cosine(
     emb: DataFrame,
     threshold: float,

@@ -337,3 +337,146 @@ def test_clustered_write_orders_files(spark, tmp_path):
         assert a_hi <= b_lo  # disjoint ranges across files
     # and the rows survive intact
     assert store.read("clustered").count() == 10000
+
+
+# --- as-of join ----------------------------------------------------------
+
+
+def test_asof_join_semantics(spark):
+    from clip_retrieval_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("u1", 1, 101), ("u1", 5, 102), ("u1", 5, 103), ("u2", 9, 201)],
+        "user string, ts long, rid long",
+    )
+    left = spark.createDataFrame(
+        [("u1", 0, 1), ("u1", 5, 2), ("u1", 7, 3), ("u2", 8, 4)],
+        "user string, ts long, lid long",
+    )
+    got = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, on="user", tie_break="rid"
+        ).collect()
+    }
+    # lid 1: nothing at-or-before ts 0 -> NULL
+    # lid 2: non-strict sees the ts==5 rows; tie -> highest rid (103)
+    # lid 3: latest right at ts<=7 is the ts==5 pair -> 103
+    # lid 4: u2's only right row is at ts 9 > 8 -> NULL
+    assert got == {1: None, 2: 103, 3: 103, 4: None}
+
+    strict = {
+        r["lid"]: r["right_rid"]
+        for r in asof_join(
+            left, right, on="user", tie_break="rid", strict=True
+        ).collect()
+    }
+    # strict: the ts==5 left row no longer sees the ts==5 right rows
+    assert strict == {1: None, 2: 101, 3: 103, 4: None}
+
+
+# --- graph analytics ------------------------------------------------------
+
+
+def test_degree_stats_path_graph(spark):
+    from clip_retrieval_spark.operators.graph import degree_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["degree"]: r["n_nodes"] for r in degree_stats(edges).collect()
+    }
+    assert got == {1: 2, 2: 1}  # a,c degree 1; b degree 2
+
+
+def test_pagerank_path_graph_matches_hand_computation(spark):
+    from clip_retrieval_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iterations=2).collect()
+    }
+    # r0 = 1 everywhere; deg a=c=1, b=2
+    # r1: a=c = 0.15+0.85*(1/2) = 0.575 ; b = 0.15+0.85*(1+1) = 1.85
+    # r2: a=c = 0.15+0.85*(1.85/2) = 0.93625 ; b = 0.15+0.85*2*0.575 = 1.1275
+    assert got == pytest.approx(
+        {"a": 0.93625, "b": 1.1275, "c": 0.93625}
+    )
+
+
+# --- IVF ANN ---------------------------------------------------------------
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    from clip_retrieval_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    q = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as qid", "embedding as q_emb"
+    )
+    c = emb.selectExpr("vec_id as cid", "embedding as c_emb")
+    cents = emb.filter("vec_id % 12 = 0").selectExpr(
+        "cast(vec_id as int) as cell_id", "embedding as centroid"
+    )
+    n_cells = cents.count()
+    # probing EVERY cell makes IVF exhaustive -> must equal brute force
+    ivf = ivf_topk(
+        q, c, cents, k=5, nprobe=n_cells, exclude_self=True, round_to=6
+    )
+    bf = (
+        brute_force_topk(q, c, k=6)
+        .filter("qid != cid")
+        .withColumn("score", F.round("score", 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    bf = (
+        bf.withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 5")
+    )
+    assert sorted(map(tuple, ivf.collect())) == sorted(
+        map(tuple, bf.collect())
+    )
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=2 of 5 cells still recovers most true neighbors (clustered
+    data: neighbors share cells by construction)."""
+    from clip_retrieval_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(5, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 20, axis=0) + 0.15 * rng.normal(size=(100, 8))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    q = emb.filter("vec_id < 10").selectExpr(
+        "vec_id as qid", "embedding as q_emb"
+    )
+    c = emb.selectExpr("vec_id as cid", "embedding as c_emb")
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centers)],
+        "cell_id int, centroid array<double>",
+    )
+    ivf = ivf_topk(q, c, cents, k=5, nprobe=2, exclude_self=True)
+    bf = brute_force_topk(q, c, k=6).filter("qid != cid").filter(
+        "rank <= 5"
+    )
+    ivf_set = {(r["qid"], r["cid"]) for r in ivf.collect()}
+    bf_set = {(r["qid"], r["cid"]) for r in bf.collect()}
+    recall = len(ivf_set & bf_set) / len(bf_set)
+    assert recall >= 0.9, recall

@@ -186,6 +186,27 @@ class KGClient:
             for r in rows
         ]
 
+    def filter_df(
+        self,
+        text: str | None = None,
+        embedding: list[float] | None = None,
+        embedding_b64: str | None = None,
+        threshold: float = 0.3,
+    ) -> DataFrame:
+        """Range-filter the entity table by one query: every entity with
+        cosine >= threshold (the reference's dataset-filtering tool,
+        clip_filter.py:36-56: encode query -> score corpus -> keep above
+        threshold). Returns a DataFrame — at corpus scale the result is
+        written, not collected. Same one-of-three input validation as
+        ``query``."""
+        vec = self._to_vector(text, embedding, embedding_b64)
+        q = F.array(*[F.lit(float(x)) for x in vec])
+        return (
+            self.entities.withColumn("similarity", dot(q, "embedding"))
+            .filter(F.col("similarity") >= threshold)
+            .select("entity_id", "surface", "similarity")
+        )
+
     def query_batch(self, texts: list[str]) -> dict[str, list[dict]]:
         """Many text queries in ONE Spark job -> {text: results}."""
         import pandas as pd

@@ -842,6 +842,60 @@ WHERE tok <> ''
 """
 
 
+# letter runs | digit runs | single non-space symbol — the GPT-2-style
+# pre-tokenizer split minus lookaheads (RE2/DuckDB-compatible, so the
+# oracle runs the IDENTICAL pattern)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document token counting under a BPE-ish regex tokenizer
+    (training-data budget accounting): subword-ish token count vs
+    whitespace word count, with alpha/numeric/symbol splits. Pure JVM
+    (regexp_extract_all + higher-order filter) — no Python."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(_BPE_RE), 0).alias("bt"),
+        F.split("text", r"\s+").alias("wt"),
+    )
+    n_alpha = F.size(F.filter("bt", lambda t: t.rlike("^[A-Za-z]")))
+    n_num = F.size(F.filter("bt", lambda t: t.rlike("^[0-9]")))
+    return toks.select(
+        "doc_id",
+        F.size("bt").cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter("wt", lambda x: x != "")).cast("long").alias(
+            "n_words"
+        ),
+        n_alpha.cast("long").alias("n_alpha"),
+        n_num.cast("long").alias("n_num"),
+        (F.size("bt") - n_alpha - n_num).cast("long").alias("n_symbol"),
+    ).orderBy("doc_id")
+
+
+BPE_TOKEN_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_BPE_RE}') AS bt,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '') AS wt
+  FROM documents
+)
+SELECT doc_id,
+       len(bt)::BIGINT AS n_bpe_tokens,
+       len(wt)::BIGINT AS n_words,
+       len(list_filter(bt, x -> regexp_matches(x, '^[A-Za-z]')))::BIGINT
+         AS n_alpha,
+       len(list_filter(bt, x -> regexp_matches(x, '^[0-9]')))::BIGINT
+         AS n_num,
+       (len(bt)
+        - len(list_filter(bt, x -> regexp_matches(x, '^[A-Za-z]')))
+        - len(list_filter(bt, x -> regexp_matches(x, '^[0-9]'))))::BIGINT
+         AS n_symbol
+FROM t ORDER BY doc_id
+"""
+
+
 def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set
     (order-canonical bag fingerprint)."""
@@ -1725,6 +1779,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "kg_links": (kg_links, None),
     "kg_links_rank1": (kg_links_rank1, KG_LINKS_RANK1_SQL),
     "kg_nodes_edges": (kg_nodes_edges, KG_NODES_EDGES_SQL),
+    "bpe_token_counts": (bpe_token_counts, BPE_TOKEN_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
     "kg_degree_stats": (kg_degree_stats, KG_DEGREE_SQL),
     "kg_pagerank3": (kg_pagerank3, KG_PAGERANK_SQL),

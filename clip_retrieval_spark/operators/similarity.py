@@ -219,37 +219,99 @@ def ivf_topk(
     (``centroids``: one row per cell), not random, so cell population
     tracks the data distribution.
 
-    Physical plan, all JVM expressions:
-      1. assign: corpus x broadcast(centroids) -> dot -> row_number()==1
-         (the coarse quantizer; |C| is small by construction, so the
-         blowup is |corpus| x |C| narrow rows into a map-side window).
-      2. probe:  queries x broadcast(centroids) -> top-nprobe cells.
-      3. probe-join on cell — broadcast on the (small) query side, so
-         the corpus never shuffles; exact cosine -> window top-k.
+    Physical plan, all JVM expressions, corpus NEVER shuffles:
+      1. the centroid table collapses to a one-row array<struct> and is
+         broadcast; assignment is a NARROW per-row argmax expression
+         over that array (a window-based argmax would hash-shuffle the
+         |corpus| x |C| exploded rows — the classic hidden 100TB cost).
+      2. probe: same broadcast array; top-nprobe cells per query via
+         sort_array + slice (queries are small by contract).
+      3. probe-join on cell — broadcast on the query side; exact cosine
+         -> window top-k (the only exchange: candidates by query id).
     Scores are rounded BEFORE every ranking step so tie-breaks are
     reproducible across engines (the oracle contract).
     """
     def _rounded(col: Column) -> Column:
         return F.round(col, round_to) if round_to is not None else col
 
-    cents = F.broadcast(centroids.select(cell_id, cent_emb))
-    aw = Window.partitionBy(c_id).orderBy(
-        F.desc("_cs"), F.asc(cell_id)
+    cell_t = centroids.schema[cell_id].dataType
+    cents_row = F.broadcast(
+        centroids.agg(
+            F.collect_list(
+                F.struct(
+                    F.col(cell_id).alias("cell"),
+                    F.col(cent_emb).alias("cvec"),
+                )
+            ).alias("_cents")
+        )
     )
+
+    def _score(emb_col: str, ct: Column) -> Column:
+        return _rounded(
+            F.aggregate(
+                F.zip_with(
+                    F.col(emb_col),
+                    ct["cvec"],
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+
+    # argmax over the centroid array (ties -> lowest cell id), one
+    # narrow expression per corpus row; transform scores each centroid
+    # ONCE, the fold only compares struct fields
+    init = F.struct(
+        F.lit(float("-inf")).alias("s"),
+        F.lit(None).cast(cell_t).alias("cell"),
+    )
+
+    def _argmax(emb_col: str) -> Column:
+        scored_arr = F.transform(
+            "_cents",
+            lambda ct: F.struct(
+                _score(emb_col, ct).alias("s"), ct["cell"].alias("cell")
+            ),
+        )
+        return F.aggregate(
+            scored_arr,
+            init,
+            lambda acc, e: F.when(
+                (e["s"] > acc["s"])
+                | ((e["s"] == acc["s"]) & (e["cell"] < acc["cell"])),
+                e,
+            ).otherwise(acc),
+        )
+
     assigned = (
-        corpus.crossJoin(cents)
-        .withColumn("_cs", _rounded(dot(c_emb, cent_emb)))
-        .withColumn("_r", F.row_number().over(aw))
-        .filter(F.col("_r") == 1)
-        .select(c_id, c_emb, cell_id)
+        corpus.crossJoin(cents_row)
+        .withColumn("_best", _argmax(c_emb))
+        .select(c_id, c_emb, F.col("_best.cell").alias(cell_id))
     )
-    pw = Window.partitionBy(q_id).orderBy(F.desc("_qs"), F.asc(cell_id))
+    # top-nprobe cells: sort (neg score, cell) structs ascending
     probes = (
-        queries.crossJoin(cents)
-        .withColumn("_qs", _rounded(dot(q_emb, cent_emb)))
-        .withColumn("_r", F.row_number().over(pw))
-        .filter(F.col("_r") <= nprobe)
-        .select(q_id, q_emb, cell_id)
+        queries.crossJoin(cents_row)
+        .select(
+            q_id,
+            q_emb,
+            F.explode(
+                F.slice(
+                    F.sort_array(
+                        F.transform(
+                            "_cents",
+                            lambda ct: F.struct(
+                                (-_score(q_emb, ct)).alias("negs"),
+                                ct["cell"].alias("cell"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("_p"),
+        )
+        .select(q_id, q_emb, F.col("_p.cell").alias(cell_id))
     )
     cand = assigned.join(F.broadcast(probes), cell_id)
     if exclude_self:

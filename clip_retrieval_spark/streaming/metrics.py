@@ -23,6 +23,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("at", T.DoubleType()),
         T.StructField("rows", T.LongType()),
         T.StructField("wall_ms", T.LongType()),
+        T.StructField("cpu_ms", T.LongType()),
         T.StructField("buckets", T.LongType()),
     ]
 )
@@ -31,17 +32,18 @@ METRICS_SCHEMA = T.StructType(
 def _rollup(df: DataFrame) -> DataFrame:
     ts = F.timestamp_seconds(F.col("at")).alias("ts")
     return (
-        df.select("stage", "run_id", "rows", "wall_ms", ts)
+        df.select("stage", "run_id", "rows", "wall_ms", "cpu_ms", ts)
         .withWatermark("ts", "2 minutes")
         .groupBy(F.window("ts", "1 minute").alias("w"), F.col("stage"))
         .agg(
             F.sum("rows").alias("rows"),
             F.sum("wall_ms").alias("wall_ms"),
+            F.sum("cpu_ms").alias("cpu_ms"),
             F.count("*").alias("reports"),
         )
         .select(
             F.col("w.start").alias("minute"), "stage", "rows", "wall_ms",
-            "reports",
+            "cpu_ms", "reports",
         )
     )
 

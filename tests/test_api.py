@@ -113,3 +113,20 @@ def test_query_batch_one_job_matches_single(entities):
     assert set(batch) == {"Globex", "Stark Industries"}
     assert batch["Globex"] == c.query(text="Globex")
     assert batch["Stark Industries"] == c.query(text="Stark Industries")
+
+
+def test_filter_df_threshold_semantics(entities):
+    """clip_filter analog: every entity at-or-above the threshold, none
+    below, self-match always qualifies (unit vectors, dot==cosine)."""
+    c = KGClient(entities)
+    out = c.filter_df(text="Acme Corp", threshold=0.5).collect()
+    sims = {r["surface"]: r["similarity"] for r in out}
+    assert "Acme Corp" in sims and sims["Acme Corp"] == pytest.approx(1.0)
+    assert all(s >= 0.5 for s in sims.values())
+    # complement check: nothing above the threshold was dropped
+    full = c.filter_df(text="Acme Corp", threshold=-1.0).collect()
+    expect = {r["surface"] for r in full if r["similarity"] >= 0.5}
+    assert set(sims) == expect
+    # validation is shared with query()
+    with pytest.raises(ValueError, match="only one query input"):
+        c.filter_df(text="x", embedding=[0.0] * DIM)

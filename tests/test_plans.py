@@ -101,3 +101,27 @@ def test_session_scale_configs(spark):
     assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_asof_join_single_keyed_shuffle(spark):
+    """The as-of join must plan as ONE shuffle on the key (the union-tag
+    + running-window form) — a range join here explodes quadratically on
+    hot keys at scale."""
+    p = _plan(spark, "events_asof_join")
+    # no join operator at all: the as-of is a window over a union
+    assert "Join" not in p, p
+    exchanges = re.findall(r"hashpartitioning\(user_id", p)
+    # exactly one keyed shuffle (formatted explain lists each physical
+    # node once in the details section)
+    assert len(exchanges) == 1, exchanges
+
+
+def test_ivf_corpus_never_shuffles(spark):
+    """ivf_topk: centroid assignment must be a NARROW argmax expression
+    (no window -> no hashpartitioning of corpus rows by cid); probes are
+    broadcast. The only keyed exchange is the final per-query top-k."""
+    p = _plan(spark, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert not re.search(r"hashpartitioning\(cid", p), "corpus shuffled"
+    assert len(re.findall(r"hashpartitioning\(qid", p)) == 1

@@ -5,12 +5,19 @@ Each query is forced end-to-end with the noop sink (full column
 materialization — count() would let Catalyst prune work). The KG
 pipeline stages run over pages synthesized from the documents table at
 the same scale factor.
+
+Noise control (round-2 lesson: a single-sample bench under sandbox load
+recorded a false 11x regression): every query and the KG pass run
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and the reported number is
+the MEDIAN; the raw runs and os.getloadavg() ride along in the JSON so
+a contaminated run is self-identifying.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -43,24 +50,38 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # non-POSIX platform
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
     spark = get_spark(
         master=f"local[{cpus}]", app_name="bench", shuffle_partitions=int(cpus)
     )
     spark.sparkContext.setLogLevel("ERROR")
+    load_start = _loadavg()
 
     # warm-up (JVM + Python workers), not timed
     _force(QUERIES["q1_pricing_summary"][0](spark, sf_dir))
 
     timings: dict[str, float] = {}
+    runs_raw: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
-        t0 = time.monotonic()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        samples: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            _force(fn(spark, sf_dir))
+            samples.append(round(time.monotonic() - t0, 3))
+        runs_raw[name] = samples
+        timings[name] = round(statistics.median(samples), 3)
 
     # the north metric: fused stage-1+2 triples/sec over a deterministic
     # synthetic pages corpus scaled to the sf (600k pages/sf-unit)
@@ -69,19 +90,24 @@ def main() -> None:
 
     n_pages = max(int(600_000 * float(sf)), 1000)
     pages = pages_df(spark, n_pages)
-    t0 = time.monotonic()
-    tr = extract_and_triples_df(pages)
     # Observation rides the noop write — counting in the same pass
     # instead of a second full extraction run
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    obs = Observation("kg")
-    tr.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    kg_wall = time.monotonic() - t0
-    n_triples = obs.get["n"]
+    kg_samples: list[float] = []
+    n_triples = 0
+    for i in range(n_runs):
+        t0 = time.monotonic()
+        tr = extract_and_triples_df(pages)
+        obs = Observation(f"kg{i}")
+        tr.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        kg_samples.append(round(time.monotonic() - t0, 3))
+        n_triples = obs.get["n"]
+    kg_wall = statistics.median(kg_samples)
+    runs_raw["kg_fused_pass"] = kg_samples
 
     total = round(sum(timings.values()), 3)
     print(
@@ -91,6 +117,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs_raw,
+                "n_runs": n_runs,
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
                 "sf": float(sf),
                 "cpus": int(cpus),
                 "kg_pages": n_pages,

@@ -993,6 +993,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # fixed B=8 here is the sf-scale default (keeps the gate plan
+    # deterministic, no extra count job); production callers omit
+    # n_blocks and get the auto-sized B (auto_n_blocks) that holds task
+    # memory constant at any corpus size.
     return block_allpairs_cosine(emb, 0.35, n_blocks=8).orderBy("a", "b")
 
 

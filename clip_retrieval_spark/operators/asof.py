@@ -66,8 +66,9 @@ def asof_join(
     order = [F.col("_ts").asc(), F.col("_side").asc()]
     if tie_break is not None:
         # right rows order among themselves by the tie-break; left rows
-        # carry NULL there (asc_nulls_last keeps them after right rows
-        # only via _side, which already separates the sides)
+        # carry NULL there. Null placement (asc_nulls_first) is
+        # irrelevant for correctness: _side already orders left vs
+        # right rows at equal instants.
         order.append(F.col("_r").getField(tie_break).asc_nulls_first())
     w = (
         Window.partitionBy(on)

@@ -284,10 +284,18 @@ def ivf_topk(
             ).otherwise(acc),
         )
 
+    # Input contract: embeddings are non-null fixed-dim float arrays. A
+    # null element or dim mismatch makes zip_with/aggregate fold to a
+    # NULL score, so the argmax keeps its NULL-cell init — such rows
+    # would silently vanish from every candidate set. Surface that as a
+    # defined behavior: drop them explicitly here (and only here), so
+    # the filter is visible in the plan instead of an implicit
+    # join-key-null discard.
     assigned = (
         corpus.crossJoin(cents_row)
         .withColumn("_best", _argmax(c_emb))
         .select(c_id, c_emb, F.col("_best.cell").alias(cell_id))
+        .filter(F.col(cell_id).isNotNull())
     )
     # top-nprobe cells: sort (neg score, cell) structs ascending
     probes = (
@@ -325,13 +333,26 @@ def ivf_topk(
     )
 
 
+def auto_n_blocks(n_rows: int, dim: int, target_task_bytes: int) -> int:
+    """Block count so each block-pair task's matrix slice (~2n/B vectors
+    of dim float64) stays under ``target_task_bytes``:
+    B = ceil(2 * n * dim * 8 / target), clamped to [1, 4096]."""
+    import math
+
+    if n_rows <= 0 or dim <= 0:
+        return 1
+    b = math.ceil(2 * n_rows * dim * 8 / max(target_task_bytes, 1))
+    return max(1, min(b, 4096))
+
+
 def block_allpairs_cosine(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     round_to: int = 6,
+    target_task_bytes: int = 256 << 20,
 ) -> DataFrame:
     """EXACT cosine range self-join (all pairs a<b with dot >= threshold)
     as a distributed block-pair join — the scale path for the reference's
@@ -352,10 +373,22 @@ def block_allpairs_cosine(
     pairs with one numpy matmul. Total compute is the intrinsic O(n^2/2)
     of exact range search, but it is spread over block-pair tasks whose
     memory is ~2n/B vectors — no driver collect, no closure matrix, and
-    B scales with the corpus (pick B ~ n*dim*8 / target_task_bytes).
+    B scales with the corpus: when ``n_blocks`` is None (the default) it
+    is computed from a cheap count-star + one-row dim probe as
+    B = ceil(2*n*dim*8 / target_task_bytes) — at 100x the corpus B grows
+    100x and per-task memory stays constant instead of OOMing.
     """
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        # count() is a column-pruned metadata-cheap scan; the dim probe
+        # reads one row. Both are one-off driver-side constants, not
+        # per-row work.
+        n_rows = emb.count()
+        first = emb.select(F.size(F.col(emb_col)).alias("d")).first()
+        dim = int(first["d"]) if first and first["d"] is not None else 0
+        n_blocks = auto_n_blocks(n_rows, dim, target_task_bytes)
 
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int")
     tasks = F.array_distinct(

@@ -46,7 +46,21 @@ def tree_cpu_seconds(root_pid: int | None = None) -> float:
     between calls attribute CPU to the interval."""
     root = root_pid or os.getpid()
     stats: dict[int, tuple[int, float, float]] = {}
-    for name in os.listdir("/proc"):
+    try:
+        proc_entries = os.listdir("/proc")
+    except OSError:
+        # No procfs (macOS, some containers): degrade to this process's
+        # own rusage (self + reaped children) so CPU accounting returns
+        # a lower bound instead of crashing the whole pipeline.
+        try:
+            import resource
+
+            a = resource.getrusage(resource.RUSAGE_SELF)
+            b = resource.getrusage(resource.RUSAGE_CHILDREN)
+            return a.ru_utime + a.ru_stime + b.ru_utime + b.ru_stime
+        except Exception:
+            return 0.0
+    for name in proc_entries:
         if not name.isdigit():
             continue
         s = _read_stat(int(name))

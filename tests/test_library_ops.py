@@ -154,6 +154,38 @@ def test_block_allpairs_cosine_exact(spark, vectors):
         assert got == want, (n_blocks, len(got), len(want))
 
 
+def test_block_allpairs_auto_blocks(spark, vectors):
+    """B must be derived from corpus size when n_blocks is omitted:
+    grows linearly with n, and per-task matrix bytes (~2n/B * dim * 8)
+    stay under the target."""
+    from clip_retrieval_spark.operators.similarity import (
+        auto_n_blocks,
+        block_allpairs_cosine,
+    )
+
+    target = 64 << 10  # 64 KiB, tiny so the test corpus needs B > 1
+    dim = 64
+    n = vectors.count()
+    b_small = auto_n_blocks(n, dim, target)
+    b_big = auto_n_blocks(10 * n, dim, target)
+    assert b_big >= 9 * b_small, (b_small, b_big)  # ~linear growth
+    assert 2 * n * dim * 8 / b_small <= target  # task bytes bounded
+    assert auto_n_blocks(0, dim, target) == 1
+    assert auto_n_blocks(10**12, dim, target) == 4096  # clamped
+
+    # auto path end-to-end: same exact answer as the fixed-B run
+    auto = block_allpairs_cosine(
+        vectors.select("vec_id", "embedding"), 0.35,
+        target_task_bytes=target,
+    ).collect()
+    fixed = block_allpairs_cosine(
+        vectors.select("vec_id", "embedding"), 0.35, n_blocks=4
+    ).collect()
+    assert {(r["a"], r["b"], r["score"]) for r in auto} == {
+        (r["a"], r["b"], r["score"]) for r in fixed
+    }
+
+
 # --- multimodal plumbing -------------------------------------------------
 
 

@@ -78,11 +78,20 @@ def test_extraction_stage_is_narrow(spark):
 
 def test_ann_lsh_single_corpus_scan(spark):
     """rp_lsh_topk must scan each side ONCE (bucket array + explode),
-    not n_tables unionByName rescans — 2 scans total, not 24."""
-    # formatted explain prints each node twice (tree + details):
-    # 2 physical scans == 4 mentions (was 16 scans in the union form)
+    not n_tables unionByName rescans.
+
+    The regression form is a Union of n_tables re-scans, so assert the
+    plan is Union-free and the *tree section* holds at most 2 scans.
+    (Counting mentions across the whole formatted output is
+    order-dependent: exchange/subquery reuse from earlier queries in
+    the shared JVM can collapse a details entry — seen as a 4-vs-3
+    flake in round 2.)
+    """
     p = _plan(spark, "ann_lsh_bucketed")
-    assert p.count("Scan parquet") == 4, p.count("Scan parquet")
+    assert "Union" not in p, "n_tables rescan union is back"
+    tree = p.split("\n\n", 1)[0]
+    n_scans = tree.count("Scan parquet")
+    assert 1 <= n_scans <= 2, (n_scans, tree)
 
 
 def test_embedding_neardup_is_distributed(spark):

@@ -14,9 +14,9 @@ Two physical strategies, same semantics:
 * shuffle bucket join (entity table large): plain equi-join on
   (band, sig); AQE handles skewed buckets.
 
-Top-k uses a total order (score DESC, entity_id ASC) — faiss breaks ties
-by internal order (clip_back.py:362), which is non-deterministic for us,
-so the order is pinned (SURVEY.md §7.5).
+Top-k uses a total order (score DESC, linked surface ASC) — faiss
+breaks ties by internal order (clip_back.py:362), which is
+non-deterministic for us, so the order is pinned (SURVEY.md §7.5).
 """
 
 from __future__ import annotations
@@ -38,6 +38,7 @@ def surface_link_topk(
     broadcast_entities: bool = True,
     n_hashes: int = 16,
     band_rows: int = 2,
+    blocking: str = "lsh",
 ) -> DataFrame:
     """surface_links(surface, entity_id, score, rank) with rank 1..k —
     the distinct-surface half of linking (see link_topk).
@@ -45,10 +46,18 @@ def surface_link_topk(
     ``min_score`` is the range-search threshold analog
     (reference clip_filter.py:51-53; threshold 0.94 at clip_back.py:292).
 
+    ``blocking``: ``"lsh"`` (default) blocks candidates on shared
+    MinHash band keys — the scale path for a large entity table.
+    ``"exact"`` scores every (surface, entity) pair against the
+    broadcast entity table — the flat-index analog (the reference uses
+    exact faiss indexes when the corpus is small enough,
+    clip_back.py:343-352); full recall, cost |surfaces| x |entities|,
+    correct choice whenever the entity vocabulary is bounded.
+
     Link scores are a pure function of the mention SURFACE (embedding is
-    deterministic of surface), so the expensive LSH-join + window top-k
-    runs over DISTINCT surfaces only — under Zipfian mention skew the
-    distinct-surface table is orders of magnitude smaller than the
+    deterministic of surface), so the expensive candidate-join + window
+    top-k runs over DISTINCT surfaces only — under Zipfian mention skew
+    the distinct-surface table is orders of magnitude smaller than the
     mention table (the same observation behind the reference caching
     encodings, clip_back.py:671). Mentions then pick up their links via
     one equi-join on surface (AQE broadcasts it when it fits).
@@ -56,28 +65,54 @@ def surface_link_topk(
     from clip_retrieval_spark.operators.embed import surface_embeddings
 
     surfaces = surface_embeddings(mentions)
-    s = lsh_explode(
-        surfaces, "surface", n_hashes, band_rows
-    ).select(
-        "surface", "band", "sig", F.col("embedding").alias("s_emb")
+    if blocking == "exact":
+        e0 = entities.select(
+            "entity_id",
+            F.col("surface").alias("_e_surface"),
+            F.col("embedding").alias("e_emb"),
+        )
+        if broadcast_entities:
+            e0 = F.broadcast(e0)
+        cand = surfaces.select(
+            "surface", F.col("embedding").alias("s_emb")
+        ).crossJoin(e0)
+    elif blocking == "lsh":
+        s = lsh_explode(
+            surfaces, "surface", n_hashes, band_rows
+        ).select(
+            "surface", "band", "sig", F.col("embedding").alias("s_emb")
+        )
+        e = lsh_explode(
+            entities.select(
+                "entity_id",
+                F.col("surface").alias("_e_surface"),
+                "embedding",
+            ),
+            "_e_surface", n_hashes, band_rows,
+        ).select(
+            "entity_id", "_e_surface", "band", "sig",
+            F.col("embedding").alias("e_emb"),
+        )
+        if broadcast_entities:
+            e = F.broadcast(e)
+        cand = (
+            s.join(e, ["band", "sig"])
+            # a surface/entity pair can share many bands; score each once
+            .dropDuplicates(["surface", "entity_id"])
+        )
+    else:
+        raise ValueError(f"unknown blocking {blocking!r}")
+    cand = cand.withColumn("score", dot("s_emb", "e_emb")).filter(
+        F.col("score") >= min_score
     )
-    e = lsh_explode(
-        entities.select("entity_id", "surface", "embedding"),
-        "surface", n_hashes, band_rows,
-    ).select(
-        "entity_id", "band", "sig", F.col("embedding").alias("e_emb")
-    )
-    if broadcast_entities:
-        e = F.broadcast(e)
-    cand = (
-        s.join(e, ["band", "sig"])
-        # a surface/entity pair can share many bands; score each pair once
-        .dropDuplicates(["surface", "entity_id"])
-        .withColumn("score", dot("s_emb", "e_emb"))
-        .filter(F.col("score") >= min_score)
-    )
+    # Tie-break by the LINKED SURFACE (not the entity id hash): equally
+    # deterministic — entity surfaces are distinct — but legible and
+    # SQL-expressible, which lets the correctness oracle pin expected
+    # ranks. faiss breaks ties by internal order (clip_back.py:362),
+    # which is non-deterministic for us, so a pinned total order is
+    # required either way (SURVEY.md §7.5).
     w = Window.partitionBy("surface").orderBy(
-        F.desc("score"), F.asc("entity_id")
+        F.desc("score"), F.asc("_e_surface")
     )
     return (
         cand.withColumn("rank", F.row_number().over(w))
@@ -95,13 +130,14 @@ def link_topk(
     broadcast_entities: bool = True,
     n_hashes: int = 16,
     band_rows: int = 2,
+    blocking: str = "lsh",
 ) -> DataFrame:
     """links(mention_id, entity_id, score, rank) with rank 1..k:
     ``surface_link_topk`` joined back onto mentions (one equi-join on
     surface; AQE broadcasts the surface-links side when it fits)."""
     surface_links = surface_link_topk(
         mentions, entities, k, min_score, broadcast_entities,
-        n_hashes, band_rows,
+        n_hashes, band_rows, blocking,
     )
     return mentions.select("mention_id", "surface").join(
         surface_links, "surface"

@@ -92,9 +92,12 @@ def main() -> None:
     ap.add_argument("--snapshot", default=None)
     ap.add_argument(
         "--appendix", action="store_true",
-        help="also measure the local[8]->local[32] pairing (the "
-        "SMT-oversubscribed one) and append its table + analysis",
+        help="also measure the oversubscribed pairing "
+        "(--apx-low/--apx-high, default local[8]->local[32]) and "
+        "append its table + analysis",
     )
+    ap.add_argument("--apx-low", type=int, default=8)
+    ap.add_argument("--apx-high", type=int, default=32)
     args = ap.parse_args()
 
     snapshot = args.snapshot or os.path.join(
@@ -110,8 +113,8 @@ def main() -> None:
     eff = hi["triples_per_sec"] / (factor * lo["triples_per_sec"])
     apx_lo = apx_hi = None
     if args.appendix:
-        apx_lo = run_once(8, snapshot, args.runs)
-        apx_hi = run_once(32, snapshot, args.runs)
+        apx_lo = run_once(args.apx_low, snapshot, args.runs)
+        apx_hi = run_once(args.apx_high, snapshot, args.runs)
     result = {
         "n_pages": args.n_pages,
         "low": lo,
@@ -196,27 +199,29 @@ Reference anchor: the reference reports x4 throughput on 4 nodes
 """
         )
         if apx_lo:
+            apx_factor = args.apx_high / args.apx_low
             apx_eff = apx_hi["triples_per_sec"] / (
-                4 * apx_lo["triples_per_sec"]
+                apx_factor * apx_lo["triples_per_sec"]
             )
             f.write(
                 f"""
-## Appendix: the local[8] -> local[32] pairing (why it is not the measure)
+## Appendix: the local[{args.apx_low}] -> local[{args.apx_high}] pairing (why it is not the measure)
 
 Same protocol, same snapshot (medians of {args.runs}):
 
 | master | pipeline wall (s) | pages/s | triples/s | cpu (s) | util (threads) |
 |---|---|---|---|---|---|
-| local[8] | {apx_lo['wall_sec']} | {apx_lo['pages_per_sec']} | {apx_lo['triples_per_sec']} | {apx_lo['cpu_sec']} | {apx_lo['utilization_threads']} |
-| local[32] | {apx_hi['wall_sec']} | {apx_hi['pages_per_sec']} | {apx_hi['triples_per_sec']} | {apx_hi['cpu_sec']} | {apx_hi['utilization_threads']} |
+| local[{args.apx_low}] | {apx_lo['wall_sec']} | {apx_lo['pages_per_sec']} | {apx_lo['triples_per_sec']} | {apx_lo['cpu_sec']} | {apx_lo['utilization_threads']} |
+| local[{args.apx_high}] | {apx_hi['wall_sec']} | {apx_hi['pages_per_sec']} | {apx_hi['triples_per_sec']} | {apx_hi['cpu_sec']} | {apx_hi['utilization_threads']} |
 
 efficiency = {apx_eff:.3f}. The utilization column is the measured form
-of the SMT-oversubscription argument: local[32] demands ~64 runnable
-threads (32 JVM task threads + 32 python workers) but the box delivers
+of the SMT-oversubscription argument: local[{args.apx_high}] demands
+~{args.apx_high * 2} runnable threads ({args.apx_high} JVM task threads
++ {args.apx_high} python workers) but the box delivers
 only ~{apx_hi['utilization_threads']:.0f} CPU-threads/s of the 32 hw
 threads (~16 physical cores), while burning
 {(apx_hi['cpu_sec'] / apx_lo['cpu_sec'] - 1) * 100:.0f}% more total
-CPU-seconds than local[8] for the same work ({apx_hi['cpu_sec']:.0f}s
+CPU-seconds than local[{args.apx_low}] for the same work ({apx_hi['cpu_sec']:.0f}s
 vs {apx_lo['cpu_sec']:.0f}s) — contention and GC, not useful
 parallelism. The hardware, not the plan, is the ceiling: on a real
 N -> 4N executor cluster each core is backed by physical capacity,
@@ -232,10 +237,12 @@ here), so this is an anchor, not an equivalence: the reference's
 single-node rates are 1,400 samples/s (1x RTX 3080) to 7,000 samples/s
 (8x A100, preprocessing-bound) — BASELINE.md. This pipeline sustains
 {apx_lo['pages_per_sec']:.0f} pages/s ({apx_lo['triples_per_sec']:.0f}
-triples/s) on local[8] CPU threads on the full 4-stage DAG including
-all table writes and checkpoints — i.e. the engine's per-node page
-throughput matches or beats the reference's per-node sample rates
-without any accelerator.
+triples/s) on local[{args.apx_low}] CPU threads on the full 4-stage DAG
+including all table writes and checkpoints — the same order of
+magnitude per node as the reference's published rates, on a different
+workload and without any accelerator. No stronger claim is made: the
+commensurable comparison is the scaling-efficiency protocol above, not
+absolute rates across dissimilar workloads.
 """
             )
     print(json.dumps(result))

@@ -37,6 +37,29 @@ def test_safety_filter_partitions_rows(spark):
     assert kept > 0  # stub scores are spread over [0,1)
 
 
+def test_safety_scores_order_by_signal():
+    """The embedded weights are a real classifier, not a shape stub:
+    scores must order violent text above benign text in the featurizer
+    space the head was trained on (held-out phrases, not training
+    words)."""
+    from clip_retrieval_spark.operators.embed import _ngram_features
+    from clip_retrieval_spark.operators.safety import _mlp_score
+
+    def score(text):
+        m = _ngram_features(text).astype(np.float64)[None, :]
+        return float(_mlp_score(m)[0])
+
+    violent = ["violent attack with weapon", "brutal murder scene",
+               "gun violence and bloodshed"]
+    benign = ["a sunny garden of flowers", "music in the library",
+              "mountain travel holiday"]
+    v_scores = [score(t) for t in violent]
+    b_scores = [score(t) for t in benign]
+    assert min(v_scores) > max(b_scores), (v_scores, b_scores)
+    assert all(s > 0.5 for s in v_scores)
+    assert all(s < 0.5 for s in b_scores)
+
+
 def test_prompt_filter_argmax(spark):
     rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.3])]
     df = spark.createDataFrame(rows, "id long, embedding array<float>")

@@ -157,8 +157,11 @@ class KGClient:
                 .filter("_dup = 1")
                 .drop("_dup")
             )
+        # tie-break by surface (not the id hash): deterministic, legible,
+        # SQL-expressible — same pinned-total-order rationale as
+        # operators.link (faiss ties are internal-order, clip_back.py:362)
         w = Window.partitionBy("qid").orderBy(
-            F.desc("similarity"), F.asc("entity_id")
+            F.desc("similarity"), F.asc("surface"), F.asc("entity_id")
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))

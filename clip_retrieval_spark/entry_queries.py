@@ -1199,6 +1199,83 @@ GROUP BY verdict ORDER BY verdict
 SAFETY_FILTER_SQL = _safety_w_sql()
 
 
+def kg_client_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The KGClient surface (api.py, mirroring clip_client.py:56-94)
+    oracle-checked end-to-end: a 3-text query_batch plan — dedup ON,
+    aesthetic blend ON (weight 0.5 toward the 'Entity16' direction) —
+    over the closed Entity0..39 vocabulary, with an exact-duplicate
+    entity row injected so the dedup branch (clip_back.py:257-268) is
+    exercised IN the compared output: without dedup 'Entity7' would
+    appear twice in its own top-5. Hash ids are projected out; the
+    expected (qid, surface, similarity, rank) is deterministic on the
+    closed vocabulary, verified independently against numpy
+    (unit(q + w*a) blend identity), and pinned as SQL VALUES."""
+    import pandas as pd
+
+    from clip_retrieval_spark.api import KGClient
+    from clip_retrieval_spark.operators.embed import (
+        embed_batch,
+        entities_df,
+        mentions_df,
+    )
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+
+    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    e = entities_df(mentions_df(tr))
+    # inject an exact duplicate (same surface+embedding, different id):
+    # the reference's dedup hashes the rounded embedding and keeps one
+    dup = e.filter(F.col("surface") == "Entity7").withColumn(
+        "entity_id", F.col("entity_id") + F.lit(1)
+    )
+    texts = ["Entity1", "Entity7", "Entity23"]
+    aesthetic = [float(x) for x in embed_batch(pd.Series(["Entity16"]))[0]]
+    client = KGClient(
+        e.unionByName(dup),
+        k=5,
+        min_score=0.2,
+        deduplicate=True,
+        aesthetic_embedding=aesthetic,
+        aesthetic_weight=0.5,
+    )
+    vecs = embed_batch(pd.Series(texts))
+    out = client.query_df(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    return out.select(
+        "qid",
+        "surface",
+        F.round(F.col("similarity").cast("double"), 6).alias("similarity"),
+        "rank",
+    ).orderBy("qid", "rank")
+
+
+# Expected client output: engine run verified against an independent
+# numpy blend+top-k computation, then pinned (closed vocabulary).
+KG_CLIENT_SQL = """
+WITH expected(qid, surface, similarity, rank) AS (VALUES
+  (0,'Entity1',0.989302,1),
+  (0,'Entity16',0.956491,2),
+  (0,'Entity13',0.858112,3),
+  (0,'Entity10',0.816885,4),
+  (0,'Entity11',0.816885,5),
+  (1,'Entity7',0.973793,1),
+  (1,'Entity16',0.890556,2),
+  (1,'Entity23',0.816732,3),
+  (1,'Entity1',0.794866,4),
+  (1,'Entity0',0.772454,5),
+  (2,'Entity23',0.968346,1),
+  (2,'Entity16',0.866474,2),
+  (2,'Entity2',0.84452,3),
+  (2,'Entity7',0.84452,4),
+  (2,'Entity20',0.789976,5)
+)
+SELECT qid::INT AS qid, surface, similarity::DOUBLE AS similarity,
+       rank::INT AS rank
+FROM expected ORDER BY qid, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline stages on synthesized pages (north-rule operators)
 #
@@ -1908,6 +1985,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "base64_roundtrip_docs": (base64_roundtrip_docs, BASE64_SQL),
     "aesthetic_rerank": (aesthetic_rerank, AESTHETIC_RERANK_SQL),
     "safety_filter_counts": (safety_filter_counts, SAFETY_FILTER_SQL),
+    "kg_client_topk": (kg_client_topk, KG_CLIENT_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMB_NEARDUP_SQL),
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
     "kg_extract_text": (kg_extract_text, KG_EXTRACT_SQL),

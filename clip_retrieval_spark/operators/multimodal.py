@@ -6,12 +6,14 @@ columns with a struct of typed metadata, and all per-item work runs in
 Arrow-batched ``mapInPandas`` with the decoder constructed once per
 Python worker (the mapper init-once pattern, mapper.py:16-48).
 
-The image/audio codec libraries are NOT in this container, so the
-decode kernels are deterministic STUBS behind ``_decode_image`` /
-``_sample_frames`` (clearly marked); the Spark-side plumbing — schema,
-batch shape, UDF signatures, partitioning — is real and tested. Swap
-the stub body for PIL/ffmpeg calls on a real cluster; nothing else
-changes.
+Codec status: PNG decode/resize/re-encode is REAL (pure-stdlib zlib +
+filter codec, functions/png.py) — PNG payloads yield actual pixels,
+grid-luminance features, and real nearest-neighbor thumbnails. JPEG /
+audio / video kernels remain deterministic STUBS (their codec libraries
+are genuinely absent in this container; clearly marked); the Spark-side
+plumbing — schema, batch shape, UDF signatures, partitioning — is real
+and tested for all kinds. Swap the stub bodies for PIL/ffmpeg calls on
+a real cluster; nothing else changes.
 """
 
 from __future__ import annotations
@@ -24,6 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from clip_retrieval_spark.functions import png
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, meta_width int, "
@@ -38,12 +42,19 @@ _FEATURE_DIM = 16  # 16 x 4 bytes == blake2b's max digest size
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB decode: deterministic pseudo-pixels from payload bytes.
-    Real implementation: PIL.Image.open(BytesIO(payload)) -> np array.
-    Raises on empty payload the way a real decoder raises on corrupt
-    bytes (exercises the error path)."""
+    """Image -> 16-dim feature vector.
+
+    PNG payloads are REALLY decoded (functions/png.py: zlib + filter
+    unprediction, CRC-verified) and featurized as 4x4 grid luminance
+    means — content-derived values, not hashes. Other formats fall back
+    to the deterministic STUB (blake2b pseudo-pixels; real impl:
+    PIL.Image.open). Raises on empty/corrupt payload the way a real
+    decoder raises on corrupt bytes (exercises the error path)."""
     if not payload:
-        raise ValueError("empty payload")  # NotImplemented-alike marker
+        raise ValueError("empty payload")
+    if payload[: len(png.PNG_SIGNATURE)] == png.PNG_SIGNATURE:
+        return png.grid_luminance_features(png.decode_png(payload), grid=4)
+    # STUB for non-PNG formats (JPEG etc.: codec libs absent here)
     h = hashlib.blake2b(payload, digest_size=_FEATURE_DIM * 4).digest()
     arr = np.frombuffer(h, dtype=np.uint32).astype(np.float64)
     return arr / 2**32
@@ -85,18 +96,25 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def resize_thumbnails(media: DataFrame, size: int = 64) -> DataFrame:
-    """STUB resize: deterministic digest 'thumbnail' of the payload;
-    real impl swaps in PIL .resize(). Plumbing (binary->binary batch
-    UDF, metadata passthrough) is the real part."""
+    """Thumbnails: PNG payloads get a REAL nearest-neighbor resize to
+    size x size re-encoded as PNG (functions/png.py); other formats
+    fall back to the deterministic digest STUB (real impl: PIL
+    .resize()). Plumbing (binary->binary batch UDF, metadata
+    passthrough) is real for all kinds."""
+
+    def _one(p, size: int) -> bytes:
+        b = bytes(p) if p else b""
+        if b[: len(png.PNG_SIGNATURE)] == png.PNG_SIGNATURE:
+            try:
+                arr = png.decode_png(b)
+                return png.encode_png(png.resize_nearest(arr, size, size))
+            except Exception:
+                pass  # corrupt PNG -> digest fallback, same as non-PNG
+        return hashlib.blake2b(b, digest_size=min(size, 64)).digest()
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = [
-                hashlib.blake2b(
-                    bytes(p) if p else b"", digest_size=size
-                ).digest()
-                for p in pdf["payload"]
-            ]
+            thumbs = [_one(p, size) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

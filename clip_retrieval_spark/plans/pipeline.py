@@ -157,6 +157,89 @@ class KGPipeline:
         self._record_stage(stage, wall_ms, cpu_ms, rows=n)
         return store.read(table)
 
+    # -- periodic downstream refresh over streamed-in triples -------------
+
+    def refresh_downstream(
+        self, triples: DataFrame, epoch: int
+    ) -> dict[str, DataFrame] | None:
+        """Stages 3+4 over an EXTERNALLY-ingested triples table (the
+        streaming.ingest sink): recompute mentions/entities/links/nodes/
+        edges and commit a refresh checkpoint for ``epoch``.
+
+        ``epoch`` identifies the input state (any monotone integer —
+        committed-file count or footer row count of the triples sink);
+        a second call with an already-committed epoch is a NO-OP that
+        reads the tables back — the idempotence that lets a scheduler
+        fire refreshes blindly. A crash mid-refresh leaves no committed
+        epoch row, so the next call recomputes from scratch; every
+        write is mode=overwrite, so the retry is idempotent. This is
+        the lambda split documented in streaming/ingest.py: stage 1+2
+        incremental per input file (Spark's streaming commit log),
+        global shuffle stages periodic-batch (linking + CC are global
+        fixpoints — they cannot be bucket-incremental without changing
+        semantics, so they re-run over the grown table).
+        """
+        already = (
+            self.store.checkpoints()
+            .filter(
+                (F.col("stage") == "refresh")
+                & (F.col("status") == "done")
+                & (F.col("rows") == int(epoch))
+            )
+            .count()
+            > 0
+        )
+        store = self.store
+        if already:
+            return {
+                t: store.read(t)
+                for t in (
+                    "mentions", "entities", "surface_links", "links",
+                    "nodes", "edges",
+                )
+            }
+        t0 = time.monotonic()
+        c0 = tree_cpu_seconds()
+        store.write(mentions_df(triples), "mentions")
+        mentions = store.read("mentions")
+        store.write(entities_df(mentions), "entities")
+        entities = store.read("entities")
+        store.write(
+            surface_link_topk(mentions, entities, k=self.link_k),
+            "surface_links",
+        )
+        surface_links = store.read("surface_links")
+        store.write(
+            mentions.select("mention_id", "surface")
+            .join(surface_links, "surface")
+            .select("mention_id", "entity_id", "score", "rank"),
+            "links",
+        )
+        store.write(
+            canonical_map(entities, entity_merge_edges(entities)), "nodes"
+        )
+        nodes = store.read("nodes")
+        store.write(
+            materialize_edges(triples, surface_links, nodes), "edges"
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        cpu_ms = int((tree_cpu_seconds() - c0) * 1000)
+        # partition_id folds the epoch into int range; the skip check
+        # above matches on the full epoch in `rows`
+        store.commit_buckets(
+            "refresh", {int(epoch) % (2**31 - 1): int(epoch)}, wall_ms,
+            self.run_id,
+        )
+        self._record_stage("refresh", wall_ms, cpu_ms, epoch=int(epoch))
+        return {
+            "mentions": mentions,
+            "entities": entities,
+            "surface_links": surface_links,
+            "links": store.read("links"),
+            "nodes": nodes,
+            "edges": store.read("edges"),
+        }
+
     def table_counts(self) -> dict[str, int]:
         """Row counts per stage table from the checkpoint ledger — no
         table re-scan (the reference reads its stats sidecars the same

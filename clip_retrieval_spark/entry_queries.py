@@ -1953,6 +1953,391 @@ SELECT qid, cid, score, rnk FROM (
 
 
 # ---------------------------------------------------------------------------
+# round-3 engine additions: in-engine IVF training, IR scoring, graph
+# closure, training-data quality/contamination/sampling
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign2(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine k-means (operators.kmeans): 8 cells, 2 Lloyd rounds,
+    deterministic id-ordered seeding — the trainer for ivf_topk's
+    coarse codebook, itself oracle-checked end-to-end (assignment fold,
+    per-dim means, re-assignment all mirrored in unrolled SQL)."""
+    from clip_retrieval_spark.operators.kmeans import kmeans_assign
+
+    emb = _t(spark, sf, "embeddings")
+    return kmeans_assign(emb, k=8, iterations=2).orderBy("vec_id")
+
+
+_KM_ASSIGN = """
+  SELECT vec_id, cell FROM (
+    SELECT p.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY ROUND(list_dot_product(c.cv, c.cv)
+                            - 2 * list_dot_product(p.v, c.cv), 6) ASC,
+                      c.cell ASC) AS r
+    FROM pts p CROSS JOIN {cents} c
+  ) WHERE r = 1
+"""
+
+_KM_MEANS = """
+  SELECT {a}.cell, i.i AS i, ROUND(AVG(p.v[i.i]), 6) AS m
+  FROM {a} JOIN pts p USING (vec_id),
+       (SELECT unnest(range(1, 65)) AS i) i
+  GROUP BY {a}.cell, i.i
+"""
+
+# two Lloyd rounds then the final assignment: c0 -> a1 -> c1 -> a2 ->
+# c2 -> a3 (kmeans_assign(iterations=2) = fit's 2 updates + 1 assign)
+KMEANS_SQL = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS cv
+  FROM pts ORDER BY vec_id LIMIT 8
+),
+a1 AS ({_KM_ASSIGN.format(cents="c0")}),
+m1 AS ({_KM_MEANS.format(a="a1")}),
+c1 AS (SELECT cell, array_agg(m ORDER BY i) AS cv FROM m1 GROUP BY cell),
+a2 AS ({_KM_ASSIGN.format(cents="c1")}),
+m2 AS ({_KM_MEANS.format(a="a2")}),
+c2 AS (SELECT cell, array_agg(m ORDER BY i) AS cv FROM m2 GROUP BY cell),
+a3 AS ({_KM_ASSIGN.format(cents="c2")})
+SELECT vec_id, cell AS cell_id FROM a3 ORDER BY vec_id
+"""
+
+
+def bm25_topterms(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 term scoring (k1=1.2, b=0.75) with a RATIONAL idf
+    ((N - df + 0.5) / (df + 0.5), no ln — transcendentals are the one
+    place libm implementations may diverge across engines; every other
+    factor is exact integer-derived IEEE arithmetic). Top-3 terms per
+    document for doc_id < 30. At scale: tf/df/dl are three
+    map-side-combinable aggregations; the df join is a vocabulary-sized
+    shuffle, never a corpus-sized one."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.filter(F.col("doc_id") < 30)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .join(dfreq, "tok")
+        .withColumn(
+            "score",
+            F.round(idf * (F.col("tf") * F.lit(2.2)) / denom, 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select("doc_id", "tok", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+  ) WHERE tok <> ''
+),
+tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+scalars AS (
+  SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl::DOUBLE) AS avgdl FROM dl
+),
+dfreq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)),
+               6) AS score
+  FROM tf
+  JOIN dl USING (doc_id) CROSS JOIN scalars s JOIN dfreq USING (tok)
+  WHERE tf.doc_id < 30
+),
+ranked AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC)::INT AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, score, rnk FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+def doc_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-node triangle participation over the near-dup similarity
+    graph (Jaccard >= 0.5 pairs as edges): duplicate-cluster density
+    analysis via operators.graph.triangle_count — degree-oriented wedge
+    closure, per-key fanout bounded by the orientation out-degree (the
+    O(sqrt m) arboricity bound), never by raw hub degree."""
+    from clip_retrieval_spark.operators.graph import triangle_count
+
+    edges = dedup_jaccard_pairs(spark, sf).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return (
+        triangle_count(edges)
+        .select("node", F.col("n_triangles").cast("long"))
+        .orderBy("node")
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH pairs AS (SELECT a, b FROM ({DEDUP_JACCARD_SQL}) j),
+und AS (SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs),
+deg AS (SELECT src AS n, COUNT(*)::BIGINT AS d FROM und GROUP BY src),
+ori AS (
+  SELECT u.src AS u, u.dst AS v
+  FROM und u JOIN deg d1 ON d1.n = u.src JOIN deg d2 ON d2.n = u.dst
+  WHERE d1.d < d2.d OR (d1.d = d2.d AND u.src < u.dst)
+),
+wed AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v <> e2.v
+),
+tri AS (SELECT w.a, w.b, w.c
+        FROM wed w JOIN ori o ON o.u = w.b AND o.v = w.c),
+corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, COUNT(*)::BIGINT AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
+def quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document:
+    duplicate-word fraction, top-unigram fraction, top-bigram fraction.
+    All exact integer-ratio arithmetic (deterministic cross-engine);
+    unigram/bigram tops are two map-side-combinable count aggregations,
+    bigrams built by an in-row slice zip (no extra pass over the
+    corpus)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select(
+        "doc_id",
+        arr.alias("tk"),
+    ).select(
+        "doc_id",
+        "tk",
+        F.size("tk").alias("w"),
+        F.size(F.array_distinct("tk")).alias("d"),
+    )
+    uni = (
+        base.select("doc_id", F.explode("tk").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("t1"))
+    )
+    bigrams = F.zip_with(
+        F.slice("tk", 1, F.col("w") - 1),
+        F.slice("tk", 2, F.col("w") - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    bi = (
+        base.filter(F.col("w") > 1)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("t2"))
+    )
+    return (
+        base.join(uni, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("n_words"),
+            F.round(
+                F.lit(1.0) - F.col("d").cast("double") / F.col("w"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.coalesce(F.col("t1"), F.lit(0)).cast("double")
+                / F.col("w"),
+                6,
+            ).alias("top_unigram_frac"),
+            F.when(
+                F.col("w") > 1,
+                F.round(
+                    F.coalesce(F.col("t2"), F.lit(0)).cast("double")
+                    / (F.col("w") - 1),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, tk, len(tk)::BIGINT AS w,
+         len(list_distinct(tk))::BIGINT AS d
+  FROM base
+),
+uni AS (
+  SELECT doc_id, MAX(c) AS t1 FROM (
+    SELECT doc_id, g, COUNT(*)::BIGINT AS c
+    FROM (SELECT doc_id, unnest(tk) AS g FROM base) GROUP BY 1, 2
+  ) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, MAX(c) AS t2 FROM (
+    SELECT doc_id, g, COUNT(*)::BIGINT AS c
+    FROM (SELECT doc_id,
+                 unnest([tk[i] || ' ' || tk[i + 1]
+                         FOR i IN range(1, len(tk))]) AS g
+          FROM base WHERE len(tk) > 1) GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id, s.w AS n_words,
+       ROUND(1.0 - s.d::DOUBLE / s.w, 6) AS dup_word_frac,
+       ROUND(COALESCE(u.t1, 0)::DOUBLE / s.w, 6) AS top_unigram_frac,
+       CASE WHEN s.w > 1
+            THEN ROUND(COALESCE(b.t2, 0)::DOUBLE / (s.w - 1), 6)
+            ELSE 0.0 END AS top_bigram_frac
+FROM sized s LEFT JOIN uni u USING (doc_id) LEFT JOIN bi b USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+def contamination_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/benchmark contamination check: documents with doc_id < 100
+    play the benchmark; every train doc (id >= 100) reports how many
+    distinct 8-gram (word) shingles it shares with ANY benchmark doc.
+    The n-gram surface is md5-hashed so the overlap join carries
+    fixed-width keys, and the benchmark side is the broadcast side at
+    scale (the eval set is always tiny next to the corpus)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    arr = F.filter(F.split("text", " "), lambda x: x != "")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(arr) >= 8,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 7),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(arr, i, 8), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") < 100).select("g").distinct()
+    train = grams.filter(F.col("doc_id") >= 100)
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+CONTAMINATION_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest([md5(array_to_string(tk[i:i + 7], ' '))
+                   FOR i IN range(1, len(tk) - 6)]) AS g
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS tk
+          FROM documents)
+    WHERE len(tk) >= 8
+  )
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 100),
+train AS (SELECT doc_id, g FROM grams WHERE doc_id >= 100)
+SELECT t.doc_id, COUNT(*)::BIGINT AS n_shared_ngrams
+FROM train t JOIN bench b USING (g)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-stratum hash sampling (the engine's sampler is
+    hash-based, not RNG-based, so samples are reproducible across runs,
+    engines, and retries — the property a 100 TB pipeline needs for
+    resumable subset jobs). Rates: src0 50%, src1 25%, rest 10%;
+    membership = md5(doc_id) mod 100 < rate. Reports per-stratum totals
+    plus an id checksum of the selected rows."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("source") == "src0", 50)
+        .when(F.col("source") == "src1", 25)
+        .otherwise(10)
+    )
+    flagged = docs.withColumn("_keep", (bucket < rate).cast("int"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("_keep").cast("long").alias("n_sampled"),
+            F.sum(
+                F.when(F.col("_keep") == 1, F.col("doc_id")).otherwise(0)
+            ).cast("long").alias("sampled_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+WITH flagged AS (
+  SELECT source, doc_id,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 100
+                   < (CASE source WHEN 'src0' THEN 50
+                                  WHEN 'src1' THEN 25 ELSE 10 END)
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source, COUNT(*)::BIGINT AS n_total,
+       SUM(keep)::BIGINT AS n_sampled,
+       SUM(CASE WHEN keep = 1 THEN doc_id ELSE 0 END)::BIGINT
+         AS sampled_id_sum
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2007,4 +2392,10 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "kg_degree_stats": (kg_degree_stats, KG_DEGREE_SQL),
     "kg_pagerank3": (kg_pagerank3, KG_PAGERANK_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "kmeans_assign2": (kmeans_assign2, KMEANS_SQL),
+    "bm25_topterms": (bm25_topterms, BM25_SQL),
+    "doc_triangle_counts": (doc_triangle_counts, TRIANGLE_SQL),
+    "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
+    "contamination_ngrams": (contamination_ngrams, CONTAMINATION_SQL),
+    "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
 }

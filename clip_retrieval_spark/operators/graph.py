@@ -7,6 +7,13 @@ centrality for entity ranking. Both are expressed as pure DataFrame
 algebra so they run on the same 10^12-row posture as the pipeline:
 
 * degree_stats — two hash aggregations, both map-side combinable.
+* triangle_count — DEGREE-ORIENTED wedge closure: edges are oriented
+  from the (degree, id)-smaller endpoint to the larger one, so every
+  triangle is counted exactly once and — the 100 TB point — the wedge
+  join's per-key fanout is bounded by each node's OUT-degree in the
+  orientation, which is O(sqrt(m)) for any graph (arboricity bound)
+  instead of the raw hub degree. A naive src-src self-join on an
+  unoriented edge list explodes on hubs; this one cannot.
 * pagerank — FIXED-ITERATION push-style PageRank: each round is one
   shuffle-join on src + one groupBy on dst (partial aggregation absorbs
   hub fan-in). Iterations are a driver-side loop over DataFrame algebra
@@ -44,6 +51,56 @@ def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFr
         .agg(F.count("*").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts: (node, n_triangles) for
+    every node in at least one triangle. Input treated as undirected;
+    self-loops and duplicate edges are removed.
+
+    Physical plan: degree join -> orient by (degree, id) total order ->
+    wedge self-join on the oriented source -> closure semi-check via an
+    inner join back on the oriented edge set -> explode 3 corners ->
+    count. Two shuffle joins and one aggregation, all keys bounded by
+    the orientation's out-degree (see module docstring)."""
+    und = (
+        undirect(edges, src, dst)
+        .filter(F.col("src") != F.col("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count("*").alias("_deg"))
+    # attach degrees to both endpoints, keep the (deg,id)-ascending
+    # direction only: lo -> hi under the total order
+    d1 = deg.select(F.col("src").alias("u"), F.col("_deg").alias("du"))
+    d2 = deg.select(F.col("src").alias("v"), F.col("_deg").alias("dv"))
+    oriented = (
+        und.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(d1, "u")
+        .join(d2, "v")
+        .filter(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    # wedges (a -> b, a -> c): both orderings of each unordered wedge
+    # survive, and exactly one matches the oriented closing edge (which
+    # runs lo -> hi under the (deg,id) order), so each triangle is
+    # counted once, at its orientation-minimum corner
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") != F.col("c"))
+    closing = oriented.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    )
+    triangles = wedges.join(closing, ["b", "c"])
+    corners = triangles.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").alias("n_triangles")
+    )
 
 
 def pagerank(

@@ -127,7 +127,11 @@ class KGPipeline:
                 out = with_bucket(out, self.n_buckets)
             store.append_bucketed(out, table)
             wall_ms = int((time.monotonic() - t0) * 1000)
-            cpu_ms = int((tree_cpu_seconds() - c0) * 1000)
+            # clamp: if the python daemon is killed mid-stage (memory
+            # pressure), its workers re-parent to init and their CPU
+            # leaves the tree — a negative delta is a measurement
+            # artifact, not negative work
+            cpu_ms = max(0, int((tree_cpu_seconds() - c0) * 1000))
             # per-bucket lineage from parquet footers (no re-scan);
             # pending bucket dirs were gc'd, so they hold exactly the
             # rows this run wrote. zero-row buckets commit too.
@@ -151,7 +155,8 @@ class KGPipeline:
         df = compute()
         store.write(df, table)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        cpu_ms = int((tree_cpu_seconds() - c0) * 1000)
+        # clamped for the same daemon-death artifact as the bucketed path
+        cpu_ms = max(0, int((tree_cpu_seconds() - c0) * 1000))
         n = store.fast_count(table)
         store.commit_buckets(stage, {-1: n}, wall_ms, self.run_id)
         self._record_stage(stage, wall_ms, cpu_ms, rows=n)
@@ -223,7 +228,7 @@ class KGPipeline:
             materialize_edges(triples, surface_links, nodes), "edges"
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
-        cpu_ms = int((tree_cpu_seconds() - c0) * 1000)
+        cpu_ms = max(0, int((tree_cpu_seconds() - c0) * 1000))
         # partition_id folds the epoch into int range; the skip check
         # above matches on the full epoch in `rows`
         store.commit_buckets(

@@ -40,6 +40,13 @@ def main() -> None:
     ap.add_argument("--once", action="store_true",
                     help="drain available files then exit (availableNow)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument(
+        "--refresh-kg", default=None, metavar="DIR",
+        help="after a --once drain, run the periodic downstream refresh "
+        "(linking + CC -> nodes/edges tables under DIR) over the grown "
+        "triples sink; idempotent per epoch (epoch = sink row count), "
+        "so a scheduler can pass this every run",
+    )
     args = ap.parse_args()
 
     spark = get_spark(master=args.master, app_name="kg-stream-ingest")
@@ -54,11 +61,28 @@ def main() -> None:
     )
     q.awaitTermination()
     progress = q.lastProgress or {}
-    print(json.dumps({
+    result = {
         "out": args.out,
         "last_batch_rows": progress.get("numInputRows"),
         "status": "drained" if args.once else "stopped",
-    }))
+    }
+    if args.refresh_kg and args.once:
+        from clip_retrieval_spark.io import TableStore
+        from clip_retrieval_spark.plans.pipeline import KGPipeline
+
+        triples = spark.read.parquet(args.out)  # respects sink commit log
+        # epoch from parquet footers of committed sink files (no job)
+        epoch = TableStore(spark, os.path.dirname(args.out)).fast_count(
+            os.path.basename(args.out)
+        )
+        tables = KGPipeline(spark, args.refresh_kg).refresh_downstream(
+            triples, epoch=epoch
+        )
+        result["refresh"] = {
+            "epoch": epoch,
+            "tables": {k: v.count() for k, v in tables.items()},
+        }
+    print(json.dumps(result))
     spark.stop()
 
 

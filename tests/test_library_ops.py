@@ -512,3 +512,140 @@ def test_ivf_partial_probe_recall(spark):
     bf_set = {(r["qid"], r["cid"]) for r in bf.collect()}
     recall = len(ivf_set & bf_set) / len(bf_set)
     assert recall >= 0.9, recall
+
+
+# --- k-means (IVF codebook trainer) ----------------------------------------
+
+
+def _np_kmeans_assign(V, ids, k, iterations, round_to=6):
+    """Independent numpy oracle for operators.kmeans.kmeans_assign:
+    same seeding, distance form, rounding, tie-break, and loop shape
+    (N centroid updates, then one final assignment)."""
+
+    def assign(cents):
+        # cents: list of (cell_id, vector)
+        out = {}
+        for idx, i in enumerate(ids):
+            best_d, best_cell = np.inf, None
+            for cell, c in cents:
+                d = round(float(np.dot(c, c) - 2 * np.dot(V[idx], c)),
+                          round_to)
+                if best_cell is None or d < best_d or (
+                    d == best_d and cell < best_cell
+                ):
+                    best_d, best_cell = d, cell
+            out[i] = best_cell
+        return out
+
+    seed_order = np.argsort(ids, kind="stable")[:k]
+    cents = [
+        (j, np.round(V[seed_order[j]].astype(np.float64), round_to))
+        for j in range(k)
+    ]
+    for _ in range(iterations):
+        a = assign(cents)
+        members = {}
+        for idx, i in enumerate(ids):
+            members.setdefault(a[i], []).append(V[idx].astype(np.float64))
+        cents = [
+            (cell, np.round(np.mean(members[cell], axis=0), round_to))
+            for cell in sorted(members)
+        ]
+    return assign(cents)
+
+
+def test_kmeans_assign_matches_numpy(spark, vectors):
+    from clip_retrieval_spark.operators.kmeans import kmeans_assign
+
+    rows = vectors.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    got = {
+        r["vec_id"]: r["cell_id"]
+        for r in kmeans_assign(vectors, k=5, iterations=2).collect()
+    }
+    want = _np_kmeans_assign(V, ids, k=5, iterations=2)
+    assert got == want
+
+
+def test_kmeans_trains_usable_ivf_codebook(spark, vectors):
+    """End-to-end: kmeans_fit centroids feed ivf_topk and full-probe
+    search equals brute force (the trained-index contract)."""
+    from clip_retrieval_spark.operators.kmeans import kmeans_fit
+    from clip_retrieval_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    cents = kmeans_fit(vectors, k=4, iterations=2)
+    n_cells = cents.count()
+    assert 1 <= n_cells <= 4
+    q = vectors.filter("vec_id < 3").selectExpr(
+        "vec_id as qid", "embedding as q_emb"
+    )
+    c = vectors.selectExpr("vec_id as cid", "embedding as c_emb")
+    ivf = ivf_topk(q, c, cents, k=5, nprobe=n_cells)
+    bf = brute_force_topk(q, c, k=5)
+    assert {(r["qid"], r["cid"]) for r in ivf.collect()} == {
+        (r["qid"], r["cid"]) for r in bf.collect()
+    }
+
+
+# --- triangle counting ------------------------------------------------------
+
+
+def test_triangle_count_known_graph(spark):
+    from clip_retrieval_spark.operators.graph import triangle_count
+
+    # K4 on a,b,c,d (4 triangles, each node in 3) plus a pendant edge
+    # and a duplicate/reversed edge to exercise normalization
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("a", "d"),
+            ("b", "c"), ("b", "d"), ("c", "d"),
+            ("d", "e"),             # pendant: no triangle
+            ("b", "a"), ("a", "b"),  # dup + reverse
+        ],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangle_count_matches_bruteforce_random(spark):
+    from clip_retrieval_spark.operators.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    n = 40
+    pairs = sorted(
+        {
+            (int(a), int(b)) if a < b else (int(b), int(a))
+            for a, b in rng.integers(0, n, size=(220, 2))
+            if a != b
+        }
+    )
+    adj = {i: set() for i in range(n)}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for i in sorted(adj):
+        for j in adj[i]:
+            if j <= i:
+                continue
+            for k2 in adj[i] & adj[j]:
+                if k2 <= j:
+                    continue
+                for v in (i, j, k2):
+                    want[v] = want.get(v, 0) + 1
+    edges = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+    got = {
+        int(r["node"]): r["n_triangles"]
+        for r in triangle_count(edges).collect()
+    }
+    assert got == want

@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "kg_extract_text",
     "kg_triples",
     "kg_links",
+    "kmeans_assign2",
+    "doc_triangle_counts",
 ]
 
 

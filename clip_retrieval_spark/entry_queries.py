@@ -2008,6 +2008,87 @@ SELECT vec_id, cell AS cell_id FROM a3 ORDER BY vec_id
 """
 
 
+def pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators.pq — the faiss
+    IndexPQ analog): 8 subspaces x 16 cells, codebooks fixed to slices
+    of embeddings 0..15 (dense, deterministic — training itself is
+    pytest-gated against numpy). The oracle mirrors the PQ semantics
+    EXACTLY in SQL: per-subspace argmin encode, per-query LUT,
+    sum-of-lookups score — not a recall bet against brute force."""
+    from clip_retrieval_spark.operators.pq import pq_adc_topk, pq_encode
+
+    emb = _t(spark, sf, "embeddings")
+    cb = (
+        emb.filter(F.col("vec_id") < 16)
+        .select(
+            F.col("vec_id").cast("int").alias("cell_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
+            "embedding",
+        )
+        .select(
+            "sub",
+            "cell_id",
+            F.expr(
+                "transform(slice(embedding, sub*8+1, 8),"
+                " x -> cast(x as double))"
+            ).alias("centroid"),
+        )
+    )
+    codes = pq_encode(
+        emb.selectExpr("vec_id as cid", "embedding as c_emb"), cb, dim=64
+    )
+    q = emb.filter("vec_id < 10").selectExpr(
+        "vec_id as qid", "embedding as q_emb"
+    )
+    return (
+        pq_adc_topk(q, codes, cb, dim=64, k=5, exclude_self=True)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+PQ_ADC_SQL = """
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT s.s AS sub, p.vec_id::INT AS cell,
+         p.v[s.s * 8 + 1 : s.s * 8 + 8] AS cv
+  FROM pts p, (SELECT unnest(range(8)) AS s) s
+  WHERE p.vec_id < 16
+),
+codes AS (
+  SELECT vec_id AS cid, sub, cell FROM (
+    SELECT p.vec_id, c.sub, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id, c.sub
+             ORDER BY ROUND(list_dot_product(c.cv, c.cv)
+                            - 2 * list_dot_product(
+                                p.v[c.sub * 8 + 1 : c.sub * 8 + 8], c.cv),
+                            6) ASC,
+                      c.cell ASC) AS r
+    FROM pts p CROSS JOIN cb c
+  ) WHERE r = 1
+),
+lut AS (
+  SELECT q.vec_id AS qid, c.sub, c.cell,
+         ROUND(list_dot_product(
+             q.v[c.sub * 8 + 1 : c.sub * 8 + 8], c.cv), 6) AS d
+  FROM pts q CROSS JOIN cb c WHERE q.vec_id < 10
+),
+scored AS (
+  SELECT l.qid, co.cid, ROUND(SUM(l.d), 6) AS score
+  FROM codes co JOIN lut l ON l.sub = co.sub AND l.cell = co.cell
+  WHERE l.qid <> co.cid
+  GROUP BY l.qid, co.cid
+)
+SELECT qid, cid, score, rnk FROM (
+  SELECT qid, cid, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, cid ASC)::INT AS rnk
+  FROM scored
+) WHERE rnk <= 5 ORDER BY qid, rnk
+"""
+
+
 def bm25_topterms(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 term scoring (k1=1.2, b=0.75) with a RATIONAL idf
     ((N - df + 0.5) / (df + 0.5), no ln — transcendentals are the one
@@ -2398,4 +2479,5 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
     "contamination_ngrams": (contamination_ngrams, CONTAMINATION_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "pq_adc_search": (pq_adc_search, PQ_ADC_SQL),
 }

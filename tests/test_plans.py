@@ -134,3 +134,59 @@ def test_ivf_corpus_never_shuffles(spark):
     assert "SortMergeJoin" not in p
     assert not re.search(r"hashpartitioning\(cid", p), "corpus shuffled"
     assert len(re.findall(r"hashpartitioning\(qid", p)) == 1
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """assign_cells must be a narrow fold over the broadcast codebook:
+    no hashpartitioning of corpus rows by id, no sort-merge join."""
+    from pyspark.sql import functions as F
+
+    from clip_retrieval_spark.operators.kmeans import assign_cells
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cell_id"),
+        F.expr(
+            "transform(embedding, x -> cast(x as double))"
+        ).alias("centroid"),
+    )
+    df = assign_cells(emb, cents)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert not re.search(r"hashpartitioning\(vec_id", p), "corpus shuffled"
+
+
+def test_pq_encode_is_narrow(spark):
+    """pq_encode must plan as a single broadcast-fed projection over the
+    corpus scan — no exchange of corpus rows at all."""
+    from pyspark.sql import functions as F
+
+    from clip_retrieval_spark.operators.pq import pq_encode
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = (
+        emb.filter(F.col("vec_id") < 8)
+        .selectExpr(
+            "cast(vec_id as int) as cell_id",
+            "explode(sequence(0, 7)) as sub",
+            "embedding",
+        )
+        .selectExpr(
+            "sub", "cell_id",
+            "transform(slice(embedding, sub*8+1, 8),"
+            " x -> cast(x as double)) as centroid",
+        )
+    )
+    df = pq_encode(
+        emb.selectExpr("vec_id as cid", "embedding as c_emb"), cb, dim=64
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "SortMergeJoin" not in p
+    assert not re.search(r"hashpartitioning\(cid", p), "corpus shuffled"

@@ -57,6 +57,12 @@ class KGClient:
         use_safety_filter: bool = False,
         safety_threshold: float = 0.5,
         dim: int = DIM,
+        index: str = "flat",
+        n_cells: int = 16,
+        nprobe: int = 4,
+        pq_m: int = 8,
+        pq_k: int = 16,
+        shortlist: int = 100,
     ) -> None:
         for col in ("entity_id", "surface", "embedding"):
             if col not in entities.columns:
@@ -67,6 +73,10 @@ class KGClient:
             raise ValueError(
                 "aesthetic_weight set but no aesthetic_embedding given"
             )
+        if index not in ("flat", "ivf", "pq"):
+            raise ValueError(
+                f"index must be 'flat', 'ivf' or 'pq': {index!r}"
+            )
         self.entities = entities
         self.k = k
         self.min_score = min_score
@@ -76,6 +86,23 @@ class KGClient:
         self.use_safety_filter = use_safety_filter
         self.safety_threshold = safety_threshold
         self.dim = dim
+        # index selection mirrors the reference's faiss index types
+        # (IndexFlat vs IVF / PQ variants, chosen at index-build time in
+        # its docs; consumed clip_back.py:343-399). 'flat' scans exact;
+        # 'ivf' trains a coarse codebook in-engine (operators.kmeans)
+        # and probes nprobe cells; 'pq' trains subspace codebooks,
+        # encodes once, and serves shortlist-then-exact-rerank
+        # (operators.pq). ANN structures build lazily on first query
+        # and are cached on the client.
+        self.index = index
+        self.n_cells = n_cells
+        self.nprobe = nprobe
+        self.pq_m = pq_m
+        self.pq_k = pq_k
+        self.shortlist = shortlist
+        self._centroids: DataFrame | None = None
+        self._codebooks: DataFrame | None = None
+        self._codes: DataFrame | None = None
 
     # -- validation (P8) ---------------------------------------------------
 
@@ -138,10 +165,8 @@ class KGClient:
             q = q.withColumn(
                 "q_emb", blend("q_emb", a, self.aesthetic_weight)
             )
-        scored = (
-            ents.crossJoin(F.broadcast(q))
-            .withColumn("similarity", dot("q_emb", "embedding"))
-            .filter(F.col("similarity") >= self.min_score)
+        scored = self._score_candidates(ents, q).filter(
+            F.col("similarity") >= self.min_score
         )
         if self.deduplicate:
             # the reference's result dedup (clip_back.py:257-268: hash of
@@ -167,6 +192,74 @@ class KGClient:
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= self.k)
             .select("qid", "entity_id", "surface", "similarity", "rank")
+        )
+
+    def _score_candidates(self, ents: DataFrame, q: DataFrame) -> DataFrame:
+        """(qid, entity_id, surface, similarity) candidates per the
+        selected index. 'flat' scores every entity (exact); the ANN
+        paths return an over-fetched candidate set (k x 4 bounded by
+        the shortlist) so downstream dedup/min_score filtering cannot
+        starve the final top-k."""
+        if self.index == "flat":
+            return ents.crossJoin(F.broadcast(q)).withColumn(
+                "similarity", dot("q_emb", "embedding")
+            )
+        corpus = ents.select(
+            F.col("entity_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+        )
+        n_cand = max(self.k * 4, self.k + 8)
+        if self.index == "ivf":
+            from clip_retrieval_spark.operators.similarity import ivf_topk
+
+            if self._centroids is None:
+                from clip_retrieval_spark.operators.kmeans import kmeans_fit
+
+                self._centroids = kmeans_fit(
+                    self.entities.select(
+                        F.col("entity_id").alias("vec_id"),
+                        F.col("embedding"),
+                    ),
+                    k=self.n_cells,
+                    iterations=2,
+                ).localCheckpoint()
+            cand = ivf_topk(
+                q, corpus, self._centroids, k=n_cand, nprobe=self.nprobe
+            )
+        else:  # pq
+            from clip_retrieval_spark.operators.pq import (
+                pq_encode,
+                pq_rerank_topk,
+                pq_train,
+            )
+
+            if self._codes is None:
+                self._codebooks = pq_train(
+                    self.entities.select(
+                        F.col("entity_id").alias("vec_id"),
+                        F.col("embedding"),
+                    ),
+                    dim=self.dim, m=self.pq_m, k=self.pq_k,
+                ).localCheckpoint()
+                self._codes = pq_encode(
+                    corpus, self._codebooks, dim=self.dim
+                ).localCheckpoint()
+            cand = pq_rerank_topk(
+                q, self._codes, corpus, self._codebooks, dim=self.dim,
+                k=n_cand, shortlist=max(self.shortlist, n_cand),
+            )
+        # join surface AND embedding back: the result-dedup hash in
+        # query_df keys on the (rounded) embedding
+        surfaces = self.entities.select(
+            "entity_id", "surface", "embedding"
+        )
+        return (
+            cand.select(
+                "qid",
+                F.col("cid").alias("entity_id"),
+                F.col("score").alias("similarity"),
+            )
+            .join(surfaces, "entity_id")
         )
 
     def query(

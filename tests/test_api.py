@@ -130,3 +130,60 @@ def test_filter_df_threshold_semantics(entities):
     # validation is shared with query()
     with pytest.raises(ValueError, match="only one query input"):
         c.filter_df(text="x", embedding=[0.0] * DIM)
+
+
+def test_index_validation(entities):
+    with pytest.raises(ValueError, match="index must be"):
+        KGClient(entities, index="hnsw")
+
+
+def test_ivf_full_probe_equals_flat(entities):
+    """index='ivf' with nprobe == n_cells probes everything, so the
+    result must equal the exact flat scan (same contract as
+    test_ivf_full_probe_equals_bruteforce, through the client)."""
+    flat = KGClient(entities, k=3, deduplicate=False)
+    ivf = KGClient(
+        entities, k=3, deduplicate=False,
+        index="ivf", n_cells=4, nprobe=4,
+    )
+    for text in ("Acme Corp", "Hooli"):
+        f = [(r["id"], r["rank"]) for r in flat.query(text=text)]
+        i = [(r["id"], r["rank"]) for r in ivf.query(text=text)]
+        assert f == i, (text, f, i)
+
+
+def test_pq_full_shortlist_equals_flat(entities):
+    """index='pq' re-ranks the shortlist with exact dots; a shortlist
+    covering the whole corpus makes the client exact regardless of
+    quantization error."""
+    flat = KGClient(entities, k=3, deduplicate=False)
+    pq = KGClient(
+        entities, k=3, deduplicate=False,
+        index="pq", pq_m=8, pq_k=4, shortlist=100,
+    )
+    for text in ("Globex", "Stark Industries"):
+        f = [(r["id"], r["rank"]) for r in flat.query(text=text)]
+        p = [(r["id"], r["rank"]) for r in pq.query(text=text)]
+        assert f == p, (text, f, p)
+
+
+def test_ann_index_respects_dedup_and_min_score(spark, entities):
+    """The post-search options compose with ANN candidates: duplicate
+    embeddings collapse, and min_score floors the result set."""
+    dup = entities.union(
+        entities.filter("entity_id = 2").selectExpr(
+            "entity_id + 100 as entity_id", "surface", "embedding"
+        )
+    ).cache()
+    c = KGClient(
+        dup, k=8, deduplicate=True, index="pq",
+        pq_m=8, pq_k=4, shortlist=100,
+    )
+    got = c.query(text="Globex")
+    ids = [r["id"] for r in got]
+    assert 2 in ids and 102 not in ids  # dup dropped, min id kept
+    floor = KGClient(
+        dup, k=8, min_score=0.999, index="ivf", n_cells=4, nprobe=4
+    )
+    hits = floor.query(text="Globex")
+    assert all(r["similarity"] >= 0.999 for r in hits)

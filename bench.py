@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "kg_triples",
     "kg_links",
     "kmeans_assign2",
-    "doc_triangle_counts",
+    "pq_adc_search",
 ]
 
 

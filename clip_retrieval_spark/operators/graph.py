@@ -83,6 +83,11 @@ def triangle_count(
             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
         )
         .select("u", "v")
+        # the oriented edge list feeds THREE plan branches (both wedge
+        # sides + the closure probe); without truncation Spark would
+        # recompute the upstream edge derivation (often an expensive
+        # similarity join) three times
+        .localCheckpoint(eager=False)
     )
     # wedges (a -> b, a -> c): both orderings of each unordered wedge
     # survive, and exactly one matches the oriented closing edge (which

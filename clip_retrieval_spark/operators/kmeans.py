@@ -63,12 +63,15 @@ def assign_cells(
     to the lowest cell id. One narrow fold per corpus row over the
     broadcast codebook; rows whose vectors fold to NULL (ragged/null
     arrays) are dropped explicitly, mirroring ivf_topk's contract."""
+    # cc = ||cvec||^2 precomputed once per centroid — the assignment
+    # fold would otherwise recompute it per corpus row
     cents_row = F.broadcast(
         centroids.agg(
             F.collect_list(
                 F.struct(
                     F.col(cell_id).alias("cell"),
                     F.col(cent_emb).alias("cvec"),
+                    _dot(F.col(cent_emb), F.col(cent_emb)).alias("cc"),
                 )
             ).alias("_cents")
         )
@@ -83,8 +86,7 @@ def assign_cells(
             "_cents",
             lambda ct: F.struct(
                 F.round(
-                    _dot(ct["cvec"], ct["cvec"]) - 2 * _dot(F.col(vec), ct["cvec"]),
-                    round_to,
+                    ct["cc"] - 2 * _dot(F.col(vec), ct["cvec"]), round_to
                 ).alias("d"),
                 ct["cell"].cast("int").alias("cell"),
             ),

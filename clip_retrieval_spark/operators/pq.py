@@ -91,14 +91,16 @@ def pq_train(
 
 def _codebook_row(codebooks: DataFrame) -> Column:
     """Collapse (sub, cell_id, centroid) to one broadcastable row:
-    _cb = array over subs (ascending) of array of (cell, cvec) structs
-    sorted by cell."""
+    _cb = array over subs (ascending) of array of (cell, cvec, cc)
+    structs sorted by cell; cc = ||cvec||^2 precomputed ONCE per cell
+    (the encode fold would otherwise recompute it per corpus row)."""
     per_sub = codebooks.groupBy("sub").agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col("cell_id").cast("int").alias("cell"),
                     F.col("centroid").alias("cvec"),
+                    _dot(F.col("centroid"), F.col("centroid")).alias("cc"),
                 )
             )
         ).alias("cells")
@@ -144,8 +146,7 @@ def pq_encode(
             cells,
             lambda ct, i: F.struct(
                 F.round(
-                    _dot(ct["cvec"], ct["cvec"]) - 2 * _dot(xs, ct["cvec"]),
-                    round_to,
+                    ct["cc"] - 2 * _dot(xs, ct["cvec"]), round_to
                 ).alias("d"),
                 i.cast("int").alias("cell"),
             ),

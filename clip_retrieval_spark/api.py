@@ -104,6 +104,51 @@ class KGClient:
         self._codebooks: DataFrame | None = None
         self._codes: DataFrame | None = None
 
+    @classmethod
+    def from_index(
+        cls,
+        entities: DataFrame,
+        index_dir: str,
+        index: str = "pq",
+        **kwargs,
+    ) -> "KGClient":
+        """Load a prebuilt index (jobs/build_index.py output) instead of
+        training lazily — the analog of the reference's clip_back
+        --indices-paths consuming a clip-retrieval-index build. The
+        entity table must be the one the index was built over (codes
+        key on its ids)."""
+        spark = entities.sparkSession
+        import os as _os
+
+        meta = spark.read.parquet(
+            _os.path.join(index_dir, "meta.parquet")
+        ).collect()[0]
+        client = cls(
+            entities,
+            dim=kwargs.pop("dim", meta["dim"]),
+            index=index,
+            n_cells=meta["n_cells"],
+            pq_m=meta["pq_m"],
+            pq_k=meta["pq_k"],
+            **kwargs,
+        )
+        if index == "ivf":
+            if not meta["has_ivf"]:
+                raise ValueError(f"{index_dir} was built without IVF")
+            client._centroids = spark.read.parquet(
+                _os.path.join(index_dir, "centroids.parquet")
+            )
+        elif index == "pq":
+            if not meta["has_pq"]:
+                raise ValueError(f"{index_dir} was built without PQ")
+            client._codebooks = spark.read.parquet(
+                _os.path.join(index_dir, "pq_codebooks.parquet")
+            )
+            client._codes = spark.read.parquet(
+                _os.path.join(index_dir, "pq_codes.parquet")
+            ).withColumnRenamed("id", "cid")
+        return client
+
     # -- validation (P8) ---------------------------------------------------
 
     def _to_vector(

@@ -1,6 +1,8 @@
 """Product quantization: the compressed-index path of the reference's
-faiss indices (IndexIVFPQ / OPQ in its index-building docs), re-expressed
-as DataFrame algebra.
+faiss indices (reference README.md:271-289 — ``clip-retrieval index``
+builds memory-budgeted autofaiss indices, PQ-compressed when the corpus
+outgrows RAM; consumed at clip_back.py:343-399), re-expressed as
+DataFrame algebra.
 
 PQ splits a d-dim vector into M subvectors of d/M dims, quantizes each
 against its own k-cell codebook, and stores only the M cell ids (codes)

@@ -68,8 +68,18 @@ def main() -> None:
     else:
         pages = pages_df(spark, args.n_pages)
 
+    def _steal_sec() -> float:
+        # hypervisor steal (whole machine): CPU the host withheld from
+        # this VM. This sandbox shows intermittent steal storms; a run
+        # with high steal_cpu_sec is contaminated and self-identifies.
+        try:
+            return int(open("/proc/stat").readline().split()[8]) / 100.0
+        except (OSError, IndexError, ValueError):
+            return 0.0
+
     t0 = time.monotonic()
     c0 = tree_cpu_seconds()
+    s0 = _steal_sec()
     pipe = KGPipeline(
         spark, args.out, n_buckets=args.n_buckets,
         materialize_text=not args.no_text,
@@ -94,6 +104,7 @@ def main() -> None:
                 "n_pages": n_pages,
                 "wall_sec": round(wall, 2),
                 "cpu_sec": round(cpu, 2),
+                "steal_cpu_sec": round(_steal_sec() - s0, 2),
                 "utilization_threads": round(cpu / wall, 2),
                 "pages_per_sec": round(n_pages / wall, 1),
                 "triples_per_sec": round(counts["triples"] / wall, 1),

@@ -187,3 +187,48 @@ def test_ann_index_respects_dedup_and_min_score(spark, entities):
     )
     hits = floor.query(text="Globex")
     assert all(r["similarity"] >= 0.999 for r in hits)
+
+
+def test_build_index_job_and_from_index(spark, entities, tmp_path_factory):
+    """jobs/build_index.py -> KGClient.from_index round trip: the
+    prebuilt-PQ client with a corpus-covering shortlist must equal the
+    flat scan (exact rerank), and the prebuilt-IVF client at full probe
+    likewise — the clip-retrieval-index -> clip-back consumption path."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    out = str(tmp_path_factory.mktemp("kgindex"))
+    emb_path = os.path.join(out, "entities_emb.parquet")
+    entities.selectExpr(
+        "entity_id as vec_id", "embedding"
+    ).write.mode("overwrite").parquet(emb_path)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "jobs", "build_index.py"),
+            "--embeddings", emb_path, "--out", os.path.join(out, "idx"),
+            "--dim", str(len(entities.first()["embedding"])),
+            "--n-cells", "4", "--pq-m", "8", "--pq-k", "4",
+            "--master", "local[4]",
+        ],
+        capture_output=True, text=True, check=True,
+    )
+    info = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert info["ivf_cells"] >= 1
+    assert info["pq_codes"] == entities.count()
+
+    flat = KGClient(entities, k=3, deduplicate=False)
+    pq = KGClient.from_index(
+        entities, os.path.join(out, "idx"), index="pq",
+        k=3, deduplicate=False, shortlist=100,
+    )
+    ivf = KGClient.from_index(
+        entities, os.path.join(out, "idx"), index="ivf",
+        k=3, deduplicate=False, nprobe=4,
+    )
+    for text in ("Acme Corp", "Hooli"):
+        f = [(r["id"], r["rank"]) for r in flat.query(text=text)]
+        assert f == [(r["id"], r["rank"]) for r in pq.query(text=text)]
+        assert f == [(r["id"], r["rank"]) for r in ivf.query(text=text)]

@@ -162,8 +162,9 @@ configs except master; fresh JVM per run; median of {args.runs} runs.
 
 Pairing rationale: a python-UDF-heavy Spark slot occupies ~2 hardware
 threads (1 JVM thread + 1 python worker). This box has 32 hw threads
-over ~16 physical cores; raw multiprocessing scales 8->32 procs at only
-2.85x (SMT ceiling), so local[{args.low}] -> local[{args.high}] measures
+over ~16 physical cores; a raw python busy-loop burn scales 8->32
+procs at only ~3.2x of 4x (SMT ceiling), so
+local[{args.low}] -> local[{args.high}] measures
 true {factor:g}x core scaling inside physical capacity.
 
 CPU columns are measured, not inferred: whole-process-tree utime+stime

@@ -111,8 +111,11 @@ def surface_link_topk(
     # ranks. faiss breaks ties by internal order (clip_back.py:362),
     # which is non-deterministic for us, so a pinned total order is
     # required either way (SURVEY.md §7.5).
+    # ... with entity_id as the last resort so the order stays TOTAL
+    # even for caller-supplied entity tables with duplicate surfaces
+    # (the operator is public; uniqueness is convention, not contract).
     w = Window.partitionBy("surface").orderBy(
-        F.desc("score"), F.asc("_e_surface")
+        F.desc("score"), F.asc("_e_surface"), F.asc("entity_id")
     )
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -40,29 +40,65 @@ def lsh_explode(
 ) -> DataFrame:
     """df + (band, sig) — one row per (input row, band).
 
-    Implemented as explode -> hash -> groupBy-min over DISTINCT texts
-    (signatures are a pure function of the text), not as one nested
-    expression: inlining the 16-hash signature into 8 band keys blows
-    the codegen expression tree up ~n_hashes x n_bands and Janino
-    compile time dominates (measured: ~50 s on a 68-row input). The
-    aggregate formulation keeps every expression tiny, is algebraic
-    (map-side combine), and the signature join back to ``df`` hits the
-    distinct-text table, which Zipfian corpora keep small.
+    Implemented as explode -> hash -> groupBy-min keyed on the 8-byte
+    ``xxhash64(text)``, not as one nested expression: inlining the
+    16-hash signature into 8 band keys blows the codegen expression
+    tree up ~n_hashes x n_bands and Janino compile time dominates
+    (measured: ~50 s on a 68-row input). The aggregate formulation
+    keeps every expression tiny and is algebraic (map-side combine) —
+    duplicate texts collapse in the combiner, so no distinct-text
+    pre-shuffle is needed.
+
+    Every shuffle in this operator (the signature agg and the join back
+    to ``df``) is keyed by the text's xxhash64, never the text itself:
+    near-dup corpora feed whole documents through here
+    (``dedup.near_dedup_minhash``), and raw-text keys would move the
+    corpus byte volume through the shuffle twice. A 64-bit key collision
+    merges two texts' gram sets (min over the union), which can only
+    perturb candidate generation; callers verify candidates exactly
+    (Jaccard / cosine), so collisions cost recall ~2^-64, not
+    correctness.
+    """
+    bands = lsh_bands(df, text_col, n_hashes, band_rows, shingle_n)
+    return (
+        df.withColumn("_tk", _text_key(text_col))
+        .join(bands, "_tk")
+        .drop("_tk")
+    )
+
+
+def _text_key(text_col: str) -> Column:
+    """8-byte shuffle key standing in for the raw text."""
+    return F.xxhash64(F.lit("lshk"), F.col(text_col))
+
+
+def lsh_bands(
+    df: DataFrame,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(_tk, band, sig) — the LSH band table keyed by ``_text_key``.
+
+    One narrow explode + one algebraic agg; the only shuffle is the
+    signature groupBy, keyed by the 8-byte ``_tk``, and its combiner
+    collapses duplicate texts map-side, so corpus byte volume never
+    enters a shuffle here.
     """
     n_bands = n_hashes // band_rows
-    texts = df.select(F.col(text_col).alias("_t")).distinct()
-    grams = texts.select(
-        "_t",
-        F.explode(char_shingles(F.col("_t"), shingle_n)).alias("_g"),
+    grams = df.select(
+        _text_key(text_col).alias("_tk"),
+        F.explode(char_shingles(F.col(text_col), shingle_n)).alias("_g"),
     )
     hashed = grams.select(
-        "_t",
+        "_tk",
         *[
             F.xxhash64(F.lit(f"mh{i}"), F.col("_g")).alias(f"_h{i}")
             for i in range(n_hashes)
         ],
     )
-    sigs = hashed.groupBy("_t").agg(
+    sigs = hashed.groupBy("_tk").agg(
         *[F.min(f"_h{i}").alias(f"_mh{i}") for i in range(n_hashes)]
     )
     band_structs = [
@@ -74,12 +110,11 @@ def lsh_explode(
         )
         for b in range(n_bands)
     ]
-    bands = (
+    return (
         sigs.withColumn("_b", F.explode(F.array(*band_structs)))
-        .select("_t", F.col("_b.band").alias("band"),
+        .select("_tk", F.col("_b.band").alias("band"),
                 F.col("_b.sig").alias("sig"))
     )
-    return df.join(bands, df[text_col] == bands["_t"]).drop("_t")
 
 
 def candidate_pairs(
@@ -90,6 +125,7 @@ def candidate_pairs(
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
     oversize: str = "chain",
+    chain_salts: int = 64,
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) from shared LSH buckets.
 
@@ -100,18 +136,29 @@ def candidate_pairs(
     Over-cap buckets are NOT silently dropped (they are exactly the
     largest duplicate clusters — dropping them means the corpus' worst
     duplicates never merge). ``oversize="chain"`` emits a SPANNING chain
-    instead: members sorted by id, consecutive pairs only — m-1 edges
-    connect the whole bucket for downstream connected components at
-    linear (not quadratic) cost. The chain sort is one window task per
-    hot bucket (O(m log m), vs the m^2/2 join blowup). A verify step
-    downstream may cut individual chain links; near-identical texts
-    recur in most bands, so surviving links in other bands reconnect
-    true clusters in practice. ``oversize="drop"`` restores strict
-    selectivity (old behavior).
+    instead: m-1 consecutive-pair edges connect the whole bucket for
+    downstream connected components at linear (not quadratic) cost.
+    The chain is built two-level — members chain within a salt cell,
+    then the per-salt minima chain across cells — so no single task
+    ever sorts an entire hot bucket: per-task rows are bounded by
+    ~m/chain_salts for the cell windows and by chain_salts for the
+    cross-cell window, regardless of how degenerate the bucket is.
+    A verify step downstream may cut individual chain links;
+    near-identical texts recur in most bands, so surviving links in
+    other bands reconnect true clusters in practice.
+    ``oversize="drop"`` restores strict selectivity (old behavior).
+
+    Shuffle-byte discipline: only (id, band, sig) rows ever shuffle —
+    the text column stays in the narrow key projection (see
+    ``lsh_bands``) and never rides a join or window exchange.
     """
-    buckets = lsh_explode(
-        entities.select(id_col, text_col), text_col, n_hashes, band_rows
-    ).select(id_col, "band", "sig")
+    bands = lsh_bands(
+        entities.select(text_col), text_col, n_hashes, band_rows
+    )
+    ids = entities.select(
+        F.col(id_col), _text_key(text_col).alias("_tk")
+    )
+    buckets = ids.join(bands, "_tk").select(id_col, "band", "sig")
     # bucket-size cap via aggregate (reuses the same hash partitioning
     # the join needs, so AQE collapses the exchanges)
     counts = buckets.groupBy("band", "sig").agg(F.count("*").alias("_n"))
@@ -131,13 +178,32 @@ def candidate_pairs(
         big = buckets.join(
             counts.filter(F.col("_n") > max_bucket), ["band", "sig"]
         ).drop("_n")
-        w = Window.partitionBy("band", "sig").orderBy(id_col)
-        chain = (
-            big.withColumn("_nx", F.lead(id_col).over(w))
+        # Two-level salted chain: a pathological bucket (10^8 identical
+        # docs) must not land in ONE window task. Level 1 chains within
+        # a salt cell (task rows ~ m/chain_salts); level 2 chains the
+        # per-cell minima (task rows <= chain_salts). Union is still a
+        # spanning tree of the bucket: every member reaches its cell
+        # minimum, and cell minima reach each other.
+        salted = big.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.lit("chain"), F.col(id_col)),
+                            F.lit(chain_salts))
+        )
+        w1 = Window.partitionBy("band", "sig", "_salt").orderBy(id_col)
+        within = (
+            salted.withColumn("_nx", F.lead(id_col).over(w1))
             .filter(F.col("_nx").isNotNull())
             .select(F.col(id_col).alias("a"), F.col("_nx").alias("b"))
         )
-        pairs = pairs.unionByName(chain)
+        minima = salted.groupBy("band", "sig", "_salt").agg(
+            F.min(id_col).alias("_m")
+        )
+        w2 = Window.partitionBy("band", "sig").orderBy("_m")
+        across = (
+            minima.withColumn("_nx", F.lead("_m").over(w2))
+            .filter(F.col("_nx").isNotNull())
+            .select(F.col("_m").alias("a"), F.col("_nx").alias("b"))
+        )
+        pairs = pairs.unionByName(within).unionByName(across)
     elif oversize != "drop":
         raise ValueError(f"oversize must be 'chain' or 'drop': {oversize}")
     return pairs.distinct()

@@ -70,13 +70,35 @@ def test_query_matches_oracle(spark, ddb, name):
     assert not mismatches, mismatches[:3]
 
 
+def test_every_query_is_oracled():
+    """Registry discipline: every queries() entry must carry a DuckDB
+    oracle — a new query landing without one regresses the driver's
+    correctness gate to a weaker rows-only check."""
+    assert set(entry_mod.queries()) == set(_ORACLES)
+
+
 @pytest.mark.parametrize(
-    "name", sorted(set(entry_mod.queries()) - set(_ORACLES))
+    "name", ["contamination_ngrams", "sample_stratified"]
 )
-def test_rows_only_queries_run(spark, name):
-    df = entry_mod.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_newest_gates_match_oracle_second_scale(spark, name):
+    """The two newest gates, verified at a SECOND scale (sf0.001) so a
+    scale-dependent regression (e.g. a sampling-hash boundary) surfaces
+    in pytest, not only in the driver's sf0.01 round."""
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    sdf = entry_mod.queries()[name](spark, sf)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(_ORACLES[name])
+    d_cols = [c[0].lower() for c in res.description]
+    d_rows = res.fetchall()
+    assert sorted(s_cols) == sorted(d_cols), (s_cols, d_cols)
+    assert len(s_rows) == len(d_rows), (len(s_rows), len(d_rows))
+    assert _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows)
 
 
 def test_entry_smoke(spark):

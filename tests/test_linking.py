@@ -106,19 +106,73 @@ def test_topk_rank_contract(stage3):
     assert links.filter("rank > 3").count() == 0
 
 
+def _is_spanning_tree(edges, nodes):
+    """Union-find check: edges connect exactly `nodes` as one component."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        assert a in parent and b in parent
+        parent[find(a)] = find(b)
+    return len({find(n) for n in nodes}) == 1
+
+
 def test_candidate_pairs_bucket_cap(spark):
     # 300 identical surfaces -> one hot bucket per band; over-cap buckets
-    # contribute a SPANNING CHAIN (m-1 consecutive-id pairs), never the
-    # m^2/2 blowup — and never silently vanish (duplicates must merge)
+    # contribute a SPANNING TREE (m-1 edges via the salted two-level
+    # chain), never the m^2/2 blowup — and never silently vanish
+    # (duplicates must merge)
     from pyspark.sql import functions as F
 
     df = spark.range(300).select(
         F.col("id").alias("entity_id"), F.lit("Same Name").alias("surface")
     )
     chained = candidate_pairs(df, max_bucket=100).collect()
-    assert len(chained) == 299
-    assert {(r["a"], r["b"]) for r in chained} == {
-        (i, i + 1) for i in range(299)
-    }  # consecutive ids: connects all 300 members
+    edges = {(r["a"], r["b"]) for r in chained}
+    assert len(edges) == 299  # exactly m-1 distinct edges
+    assert _is_spanning_tree(edges, set(range(300)))
     assert candidate_pairs(df, max_bucket=100, oversize="drop").count() == 0
     assert candidate_pairs(df, max_bucket=1000).count() == 300 * 299 // 2
+
+
+def test_candidate_pairs_pathological_bucket_bounded_tasks(spark):
+    # A 10^5-member single-signature bucket: the two-level salted chain
+    # must (a) still connect every member into ONE component and (b)
+    # never put the whole bucket into one window task — the largest
+    # within-cell window group is ~m/chain_salts.
+    from pyspark.sql import functions as F
+
+    m, salts = 100_000, 64
+    df = spark.range(m).select(
+        F.col("id").alias("entity_id"), F.lit("hot").alias("surface")
+    )
+    edges = {
+        (r["a"], r["b"])
+        for r in candidate_pairs(
+            df, max_bucket=1000, chain_salts=salts
+        ).collect()
+    }
+    assert len(edges) == m - 1
+    assert _is_spanning_tree(edges, set(range(m)))
+    # level-1 window groups are (band, sig, salt) cells: xxhash64 salting
+    # spreads m members over `salts` cells, so the max cell is far below
+    # the whole-bucket size that the unsalted chain would sort in one task
+    cells = (
+        df.withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.lit("chain"), F.col("entity_id")),
+                F.lit(salts),
+            ),
+        )
+        .groupBy("_salt")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert cells < m // 16  # ~m/64 expected; wide margin vs m

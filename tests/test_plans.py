@@ -190,3 +190,27 @@ def test_pq_encode_is_narrow(spark):
     p = buf.getvalue()
     assert "SortMergeJoin" not in p
     assert not re.search(r"hashpartitioning\(cid", p), "corpus shuffled"
+
+
+def test_lsh_band_join_keys_are_longs(spark):
+    """The LSH distinct/band shuffles must be keyed by xxhash64(text)
+    (8-byte longs), never the raw text: near-dup dedup feeds whole
+    documents through this path, and a string key would move corpus
+    byte volume through every exchange."""
+    from pyspark.sql import functions as F
+
+    from clip_retrieval_spark.operators.lsh import candidate_pairs
+
+    df = spark.range(64).select(
+        F.col("id").alias("entity_id"),
+        F.concat(F.lit("doc text body "), F.col("id")).alias("surface"),
+    )
+    pairs = candidate_pairs(df, max_bucket=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    p = buf.getvalue()
+    # every hashpartitioning key in the plan is a long column or
+    # xxhash64 output — no exchange keyed on the surface string
+    assert not re.search(r"hashpartitioning\([^)]*surface", p), p
+    assert not re.search(r"hashpartitioning\(_t#", p), p

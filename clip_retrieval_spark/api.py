@@ -116,22 +116,23 @@ class KGClient:
         training lazily — the analog of the reference's clip_back
         --indices-paths consuming a clip-retrieval-index build. The
         entity table must be the one the index was built over (codes
-        key on its ids)."""
+        key on its ids; a row-count mismatch is rejected up front).
+
+        Index-geometry kwargs (dim / n_cells / pq_m / pq_k) may be
+        passed explicitly and then OVERRIDE meta.parquet — overriding
+        geometry the codes were built with is almost always wrong, but
+        the precedence is explicit rather than a TypeError."""
         spark = entities.sparkSession
         import os as _os
 
         meta = spark.read.parquet(
             _os.path.join(index_dir, "meta.parquet")
         ).collect()[0]
-        client = cls(
-            entities,
-            dim=kwargs.pop("dim", meta["dim"]),
-            index=index,
-            n_cells=meta["n_cells"],
-            pq_m=meta["pq_m"],
-            pq_k=meta["pq_k"],
-            **kwargs,
-        )
+        geometry = {
+            k: kwargs.pop(k, meta[k])
+            for k in ("dim", "n_cells", "pq_m", "pq_k")
+        }
+        client = cls(entities, index=index, **geometry, **kwargs)
         if index == "ivf":
             if not meta["has_ivf"]:
                 raise ValueError(f"{index_dir} was built without IVF")
@@ -147,6 +148,14 @@ class KGClient:
             client._codes = spark.read.parquet(
                 _os.path.join(index_dir, "pq_codes.parquet")
             ).withColumnRenamed("id", "cid")
+            n_codes = client._codes.count()
+            n_ents = entities.count()
+            if n_codes != n_ents:
+                raise ValueError(
+                    f"index/table mismatch: {n_codes} PQ codes vs "
+                    f"{n_ents} entity rows — pass the table the index "
+                    f"was built over"
+                )
         return client
 
     # -- validation (P8) ---------------------------------------------------

@@ -79,9 +79,9 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 12 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        if len(chunk) < length:
+        if pos + 12 + length > len(data):  # chunk or its CRC truncated
             raise ValueError("truncated chunk")
+        chunk = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(
             ">I", data[pos + 8 + length : pos + 12 + length]
         )
@@ -108,14 +108,27 @@ def decode_png(data: bytes) -> np.ndarray:
     ch = _CHANNELS[colortype]
     bpp = ch  # bytes per pixel at depth 8
     stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt DEFLATE stream
+        raise ValueError(f"bad IDAT stream: {exc}") from exc
     px = _unfilter(raw, height, stride, bpp)
-    arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(height, width, ch)
+    try:
+        arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+            height, width, ch
+        )
+    except ValueError as exc:
+        raise ValueError(f"pixel data does not match IHDR dims: {exc}")
     if colortype == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
+        if len(palette) % 3:
+            raise ValueError("PLTE length not a multiple of 3")
         pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
-        arr = pal[arr[:, :, 0]]
+        idxs = arr[:, :, 0]
+        if int(idxs.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        arr = pal[idxs]
     return arr
 
 

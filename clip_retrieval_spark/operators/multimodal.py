@@ -7,13 +7,16 @@ Arrow-batched ``mapInPandas`` with the decoder constructed once per
 Python worker (the mapper init-once pattern, mapper.py:16-48).
 
 Codec status: PNG decode/resize/re-encode is REAL (pure-stdlib zlib +
-filter codec, functions/png.py) — PNG payloads yield actual pixels,
-grid-luminance features, and real nearest-neighbor thumbnails. JPEG /
-audio / video kernels remain deterministic STUBS (their codec libraries
-are genuinely absent in this container; clearly marked); the Spark-side
-plumbing — schema, batch shape, UDF signatures, partitioning — is real
-and tested for all kinds. Swap the stub bodies for PIL/ffmpeg calls on
-a real cluster; nothing else changes.
+filter codec, functions/png.py), and baseline-JFIF JPEG decode/encode
+is REAL too (pure-stdlib Huffman + DCT codec, functions/jpeg.py:
+sequential SOF0, 1/3 components, 4:4:4/4:2:2/4:2:0, restart markers) —
+both formats yield actual pixels, grid-luminance features, and real
+resized thumbnails. Progressive JPEG / audio / video kernels remain
+deterministic STUBS (clearly marked; progressive raises
+NotImplementedError in the codec and falls through to the stub here);
+the Spark-side plumbing — schema, batch shape, UDF signatures,
+partitioning — is real and tested for all kinds. Swap the stub bodies
+for PIL/ffmpeg calls on a real cluster; nothing else changes.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clip_retrieval_spark.functions import png
+from clip_retrieval_spark.functions import jpeg, png
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, meta_width int, "
@@ -44,17 +47,27 @@ _FEATURE_DIM = 16  # 16 x 4 bytes == blake2b's max digest size
 def _decode_image(payload: bytes) -> np.ndarray:
     """Image -> 16-dim feature vector.
 
-    PNG payloads are REALLY decoded (functions/png.py: zlib + filter
-    unprediction, CRC-verified) and featurized as 4x4 grid luminance
-    means — content-derived values, not hashes. Other formats fall back
-    to the deterministic STUB (blake2b pseudo-pixels; real impl:
-    PIL.Image.open). Raises on empty/corrupt payload the way a real
-    decoder raises on corrupt bytes (exercises the error path)."""
+    PNG and baseline-JFIF JPEG payloads are REALLY decoded
+    (functions/png.py: zlib + filter unprediction, CRC-verified;
+    functions/jpeg.py: canonical Huffman + 8x8 IDCT) and featurized as
+    4x4 grid luminance means — content-derived values, not hashes.
+    Other formats (and JPEG variants the codec declares unsupported,
+    e.g. progressive) fall back to the deterministic STUB (blake2b
+    pseudo-pixels; real impl: PIL.Image.open). Raises on empty/corrupt
+    payload the way a real decoder raises on corrupt bytes (exercises
+    the error path)."""
     if not payload:
         raise ValueError("empty payload")
     if payload[: len(png.PNG_SIGNATURE)] == png.PNG_SIGNATURE:
         return png.grid_luminance_features(png.decode_png(payload), grid=4)
-    # STUB for non-PNG formats (JPEG etc.: codec libs absent here)
+    if jpeg.is_jpeg(payload):
+        try:
+            return png.grid_luminance_features(
+                jpeg.decode_jpeg(payload), grid=4
+            )
+        except NotImplementedError:
+            pass  # progressive/12-bit etc. -> deterministic stub below
+    # STUB for remaining formats (audio/video/progressive-JPEG)
     h = hashlib.blake2b(payload, digest_size=_FEATURE_DIM * 4).digest()
     arr = np.frombuffer(h, dtype=np.uint32).astype(np.float64)
     return arr / 2**32
@@ -97,10 +110,11 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 def resize_thumbnails(media: DataFrame, size: int = 64) -> DataFrame:
     """Thumbnails: PNG payloads get a REAL nearest-neighbor resize to
-    size x size re-encoded as PNG (functions/png.py); other formats
-    fall back to the deterministic digest STUB (real impl: PIL
-    .resize()). Plumbing (binary->binary batch UDF, metadata
-    passthrough) is real for all kinds."""
+    size x size re-encoded as PNG (functions/png.py); baseline-JFIF
+    JPEG payloads likewise, re-encoded as JPEG (functions/jpeg.py,
+    format-preserving); other formats fall back to the deterministic
+    digest STUB (real impl: PIL.resize()). Plumbing (binary->binary
+    batch UDF, metadata passthrough) is real for all kinds."""
 
     def _one(p, size: int) -> bytes:
         b = bytes(p) if p else b""
@@ -110,6 +124,12 @@ def resize_thumbnails(media: DataFrame, size: int = 64) -> DataFrame:
                 return png.encode_png(png.resize_nearest(arr, size, size))
             except Exception:
                 pass  # corrupt PNG -> digest fallback, same as non-PNG
+        elif jpeg.is_jpeg(b):
+            try:
+                arr = jpeg.decode_jpeg(b)
+                return jpeg.encode_jpeg(png.resize_nearest(arr, size, size))
+            except Exception:
+                pass  # corrupt/progressive JPEG -> digest fallback
         return hashlib.blake2b(b, digest_size=min(size, 64)).digest()
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

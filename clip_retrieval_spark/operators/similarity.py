@@ -382,9 +382,14 @@ def block_allpairs_cosine(
     import pandas as pd
 
     if n_blocks is None:
-        # count() is a column-pruned metadata-cheap scan; the dim probe
-        # reads one row. Both are one-off driver-side constants, not
-        # per-row work.
+        # Sizing needs count + dim, i.e. two extra actions. Over a bare
+        # parquet scan both are metadata-cheap, but over a DERIVED plan
+        # (embeddings computed by an upstream UDF) each action would
+        # re-execute the whole upstream pipeline — so pin the plan with
+        # localCheckpoint first: the probes and the real join then all
+        # read the materialized blocks. Callers who know their geometry
+        # can pass n_blocks explicitly and skip both probes.
+        emb = emb.localCheckpoint(eager=False)
         n_rows = emb.count()
         first = emb.select(F.size(F.col(emb_col)).alias("d")).first()
         dim = int(first["d"]) if first and first["d"] is not None else 0

@@ -132,10 +132,16 @@ def main() -> None:
         "low": lo,
         "high": hi,
         "scale_factor": factor,
+        # eff_min is the PRIMARY gate estimator (steal storms are
+        # additive, so min-wall is the least-contaminated run); the
+        # median-walls efficiency is reported informationally. Gating on
+        # the best of both would let one lucky low-steal run mask a
+        # genuine regression on the declared estimator.
         "efficiency": round(eff, 3),
         "efficiency_min_wall": round(eff_min, 3),
         "target": 0.8,
-        "pass": max(eff, eff_min) >= 0.8,
+        "primary_estimator": "efficiency_min_wall",
+        "pass": eff_min >= 0.8,
         "appendix": {"low": apx_lo, "high": apx_hi} if apx_lo else None,
         "bench_wall_sec": round(time.monotonic() - t0, 1),
     }
@@ -178,10 +184,12 @@ wall-second = hardware threads kept busy.
 | local[{args.low}] | {lo['wall_sec']} | {lo['pages_per_sec']} | {lo['triples_per_sec']} | {lo['cpu_sec']} | {lo['utilization_threads']} |
 | local[{args.high}] | {hi['wall_sec']} | {hi['pages_per_sec']} | {hi['triples_per_sec']} | {hi['cpu_sec']} | {hi['utilization_threads']} |
 
-**efficiency (median walls) = throughput(local[{args.high}]) /
+**efficiency (median walls, informational) =
+throughput(local[{args.high}]) /
 ({factor:g} x throughput(local[{args.low}])) = {eff:.3f}**
-**efficiency (min walls) = {eff_min:.3f}** (target >= 0.8:
-{'PASS' if max(eff, eff_min) >= 0.8 else 'FAIL'})
+**efficiency (min walls, PRIMARY gate — steal is additive, so min-wall
+is the least-contaminated estimator) = {eff_min:.3f}** (target >= 0.8:
+{'PASS' if eff_min >= 0.8 else 'FAIL'})
 
 Why two numbers: this sandbox's hypervisor intermittently withholds
 CPU (steal storms — see the per-run steal row below; wall tracks

@@ -1,0 +1,143 @@
+"""Baseline-JFIF JPEG codec (functions/jpeg.py) + the real-codec
+multimodal JPEG paths. Mirrors tests/test_png.py: pixel-golden
+roundtrips with explicit error bounds (JPEG is lossy; quality 95 on
+smooth content bounds per-pixel error tightly), corrupt-input contract,
+and the Spark operators producing real JPEG pixels."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from clip_retrieval_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+
+
+def _gradient(h=24, w=40):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 // max(w - 1, 1),
+            yy * 255 // max(h - 1, 1),
+            (xx + yy) * 255 // max(w + h - 2, 1),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "subsampling,maxerr", [("444", 3), ("422", 6), ("420", 12)]
+)
+def test_roundtrip_rgb(subsampling, maxerr):
+    img = _gradient()
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling=subsampling))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= maxerr
+
+
+def test_roundtrip_gray():
+    g = _gradient()[:, :, 1]
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (*g.shape, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+
+def test_non_multiple_of_mcu_dims():
+    # 13x7 with 4:2:0 exercises MCU padding + crop on both axes; the
+    # gradient is steep at these dims (255 across 7 px) so subsampled
+    # chroma is legitimately lossy — the 4:4:4 run on the SAME dims
+    # pins the geometry handling tightly.
+    img = _gradient(h=13, w=7)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
+    assert dec.shape == (13, 7, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 10.0
+    dec444 = decode_jpeg(encode_jpeg(img, quality=95, subsampling="444"))
+    assert dec444.shape == (13, 7, 3)
+    assert np.abs(dec444.astype(int) - img.astype(int)).mean() < 1.5
+
+
+def test_restart_markers_roundtrip():
+    img = _gradient(h=32, w=32)
+    enc = encode_jpeg(img, quality=95, restart_interval=2)
+    assert b"\xff\xd0" in enc or b"\xff\xd1" in enc  # RSTn really emitted
+    dec = decode_jpeg(enc)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_high_quality_noise_is_near_lossless():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise, quality=100))
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 3
+
+
+def test_corrupt_inputs_raise_valueerror():
+    good = encode_jpeg(_gradient())
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: len(good) // 2])  # truncated entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:20])  # truncated in headers
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
+
+
+def test_progressive_raises_notimplemented():
+    # take a valid baseline stream and flip SOF0 (0xFFC0) to SOF2
+    good = bytearray(encode_jpeg(_gradient()))
+    i = bytes(good).index(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(good))
+
+
+def test_is_jpeg():
+    assert is_jpeg(encode_jpeg(_gradient()))
+    assert not is_jpeg(b"\x89PNG")
+    assert not is_jpeg(b"")
+
+
+def test_spark_jpeg_features_and_thumbnails(spark):
+    """End-to-end through the Spark operators: a JPEG payload yields a
+    content-derived feature vector (not a digest) and a real JPEG
+    thumbnail whose pixels track the source — multimodal is value-real
+    on BOTH still-image formats now."""
+    from clip_retrieval_spark.functions.png import grid_luminance_features
+    from clip_retrieval_spark.operators.multimodal import (
+        extract_features,
+        resize_thumbnails,
+    )
+
+    img = _gradient(h=40, w=40)
+    payload = encode_jpeg(img, quality=95)
+    rows = [
+        (1, "image", bytearray(payload), 40, 40, None),
+        (2, "image", bytearray(b"\xff\xd8 corrupt jpeg"), 8, 8, None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, meta_width int, "
+        "meta_height int, meta_duration_ms int",
+    )
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    # content-derived: matches grid luminance of the SOURCE pixels
+    want = grid_luminance_features(img, grid=4)
+    want = want / np.linalg.norm(want)
+    got = np.array(feats[1]["feature"], dtype=np.float64)
+    assert feats[1]["ok"] is True
+    assert np.abs(got - want).max() < 0.02
+    # a corrupt JPEG is a corrupt row (real decoders raise), not a stub
+    assert feats[2]["ok"] is False
+
+    thumbs = {
+        r["media_id"]: r for r in resize_thumbnails(media, 16).collect()
+    }
+    t1 = decode_jpeg(bytes(thumbs[1]["thumb"]))  # format-preserving
+    assert t1.shape == (16, 16, 3)
+    assert abs(t1.mean() - img.mean()) < 8.0

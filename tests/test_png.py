@@ -121,6 +121,31 @@ def test_corrupt_inputs_raise():
     flipped[50] ^= 0xFF  # inside IDAT/IHDR -> CRC must catch it
     with pytest.raises(ValueError):
         decode_png(bytes(flipped))
+    # the documented contract is ValueError for EVERY malformed input,
+    # including the ones whose naive failure mode is a different type:
+    with pytest.raises(ValueError):
+        # cut IEND (12 bytes) plus 2 bytes of IDAT's CRC: a truncated
+        # CRC field mid-stream (was struct.error)
+        decode_png(good[:-14])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bad_idat = (  # valid CRCs, garbage DEFLATE (was zlib.error)
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\x00not deflate\xff")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad_idat)
+    pal_ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    oob_palette = (  # index 5 into a 2-entry PLTE (was IndexError)
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", pal_ihdr)
+        + _chunk(b"PLTE", bytes(6))
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x05"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(oob_palette)
 
 
 def test_resize_nearest_stats():

@@ -58,61 +58,15 @@ def main() -> None:
         args.id_col, args.vec_col
     )
     t0 = time.monotonic()
-    result: dict = {"out": args.out}
-
-    if not args.skip_ivf:
-        from clip_retrieval_spark.operators.kmeans import kmeans_fit
-
-        cents = kmeans_fit(
-            emb, k=args.n_cells, iterations=args.iterations,
-            id_col=args.id_col, vec_col=args.vec_col,
-        )
-        cents.write.mode("overwrite").parquet(
-            os.path.join(args.out, "centroids.parquet")
-        )
-        result["ivf_cells"] = spark.read.parquet(
-            os.path.join(args.out, "centroids.parquet")
-        ).count()
-
-    if not args.skip_pq:
-        from clip_retrieval_spark.operators.pq import pq_encode, pq_train
-
-        cb = pq_train(
-            emb, dim=args.dim, m=args.pq_m, k=args.pq_k,
-            iterations=args.iterations,
-            id_col=args.id_col, vec_col=args.vec_col,
-        )
-        cb.write.mode("overwrite").parquet(
-            os.path.join(args.out, "pq_codebooks.parquet")
-        )
-        cb_stored = spark.read.parquet(
-            os.path.join(args.out, "pq_codebooks.parquet")
-        )
-        codes = pq_encode(
-            emb.withColumnRenamed(args.id_col, "cid")
-            .withColumnRenamed(args.vec_col, "c_emb"),
-            cb_stored,
-            dim=args.dim,
-        ).withColumnRenamed("cid", "id")
-        codes.write.mode("overwrite").parquet(
-            os.path.join(args.out, "pq_codes.parquet")
-        )
-        result["pq_codes"] = spark.read.parquet(
-            os.path.join(args.out, "pq_codes.parquet")
-        ).count()
-
-    meta = spark.createDataFrame(
-        [
-            (
-                args.dim, args.n_cells, args.iterations, args.pq_m,
-                args.pq_k, not args.skip_ivf, not args.skip_pq,
-            )
-        ],
-        "dim int, n_cells int, iterations int, pq_m int, pq_k int,"
-        " has_ivf boolean, has_pq boolean",
+    from clip_retrieval_spark.plans.index_build import (  # noqa: E402
+        build_index_tables,
     )
-    meta.write.mode("overwrite").parquet(
-        os.path.join(args.out, "meta.parquet")
+
+    result = build_index_tables(
+        emb, args.out, dim=args.dim, n_cells=args.n_cells,
+        iterations=args.iterations, pq_m=args.pq_m, pq_k=args.pq_k,
+        id_col=args.id_col, vec_col=args.vec_col,
+        skip_ivf=args.skip_ivf, skip_pq=args.skip_pq,
     )
     result["wall_sec"] = round(time.monotonic() - t0, 2)
     print(json.dumps(result))

@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "kg_links",
     "kmeans_assign2",
     "pq_adc_search",
+    "chunk_dedup_ratio",
+    "doc_communities_lpa",
 ]
 
 

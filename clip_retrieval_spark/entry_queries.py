@@ -2425,6 +2425,229 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+def url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + canonical-URL dedup — the web-crawl
+    pipeline's first dedup pass (before any content hashing). The
+    messy URL is synthesized deterministically per doc on BOTH engines
+    (the test tables carry no URL column), then canonicalized:
+
+      * scheme + host lowercased (path case PRESERVED — real servers
+        are case-sensitive in paths)
+      * default :443 port stripped
+      * fragment dropped
+      * tracking params (utm_*, fbclid) dropped
+      * surviving query params sorted
+
+    Output: one row per canonical URL with the duplicate count and the
+    keeper (min doc_id) — pure JVM string/array functions, no UDF; at
+    corpus scale this is a narrow map + one hash aggregation."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.COM:443/Doc/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&z=9&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_medium=rss&a=1#frag"),
+    )
+    base = F.substring_index(F.regexp_replace(url, "#.*$", ""), "?", 1)
+    qs = F.substring_index(F.regexp_replace(url, "#.*$", ""), "?", -1)
+    scheme_host = F.regexp_replace(
+        F.lower(F.regexp_extract(base, "^([^/]*//[^/]+)", 1)),
+        ":443$",
+        "",
+    )
+    path = F.regexp_replace(base, "^[^/]*//[^/]+", "")
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: ~p.startswith("utm_") & ~p.startswith("fbclid"),
+        )
+    )
+    canonical = F.concat(
+        scheme_host, path, F.lit("?"), F.array_join(params, "&")
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .orderBy("canonical_url")
+    )
+
+
+URL_CANONICALIZE_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Doc/' ||
+         (doc_id % 50)::VARCHAR || '?utm_source=feed&z=9&ref=' ||
+         (doc_id % 7)::VARCHAR || '&utm_medium=rss&a=1#frag' AS url
+  FROM documents
+),
+defrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+parts AS (
+  SELECT doc_id,
+         split_part(u, '?', 1) AS base,
+         split_part(u, '?', 2) AS qs
+  FROM defrag
+),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+             lower(regexp_extract(base, '^([^/]*//[^/]+)', 1)),
+             ':443$', '')
+         || regexp_replace(base, '^[^/]*//[^/]+', '')
+         || '?'
+         || array_to_string(
+              list_sort(list_filter(string_split(qs, '&'),
+                        p -> NOT starts_with(p, 'utm_')
+                             AND NOT starts_with(p, 'fbclid'))),
+              '&') AS canonical_url
+  FROM parts
+)
+SELECT canonical_url, COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS keeper
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
+_CHUNK_W = 8  # tokens per non-overlapping chunk
+
+
+def chunk_dedup_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-level dedup at chunk granularity (the
+    Lee et al. 2022 'Deduplicating Training Data' exact-substring
+    signal, restated over non-overlapping 8-token chunks): a chunk is
+    duplicated if the SAME 8 tokens appear as a chunk in >= 2 distinct
+    documents; each doc reports its duplicated-chunk ratio.
+
+    Whole-doc hashing (dedup_exact) misses partial boilerplate;
+    MinHash (near_dedup_documents) scores global overlap. This is the
+    middle granularity: which SPANS are copied. Shape at scale: narrow
+    in-row chunking (split + slice, no explode until the chunk table),
+    one md5-keyed agg for cross-doc counts, one broadcast-size join
+    back — all map-side combinable."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_chunks = F.floor(F.size(toks) / _CHUNK_W).cast("int")
+    chunks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n_chunks),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, (i - 1) * _CHUNK_W + 1, _CHUNK_W)
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .withColumn("h", F.md5("chunk"))
+    )
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = chunks.join(dup.withColumn("_dup", F.lit(1)), "h", "left")
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias(
+                "n_dup_chunks"
+            ),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_DEDUP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(c) AS h
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(t[(i-1)*{_CHUNK_W}+1 : i*{_CHUNK_W}], ' ')
+                   FOR i IN range(1, (len(t) // {_CHUNK_W}) + 1)]) AS c
+    FROM tk
+  )
+  WHERE c IS NOT NULL
+),
+dup AS (
+  SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT c.doc_id,
+       COUNT(*)::BIGINT AS n_chunks,
+       SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 4) AS dup_ratio
+FROM chunks c LEFT JOIN dup d ON c.h = d.h
+GROUP BY c.doc_id
+HAVING COUNT(*) > 0
+ORDER BY c.doc_id
+"""
+
+
+def doc_communities_lpa(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection over the near-dup similarity graph
+    (Jaccard >= 0.8 edges) via 3 rounds of synchronous min-label
+    propagation (operators.graph.label_propagation_min): each node
+    ends up carrying the smallest doc_id within 3 hops — a
+    locality-bounded, fully deterministic community id the oracle
+    replays by unrolling the 3 rounds in SQL."""
+    from clip_retrieval_spark.operators.graph import label_propagation_min
+
+    edges = (
+        dedup_jaccard_pairs(spark, sf)
+        .filter(F.col("jaccard") >= 0.8)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return (
+        label_propagation_min(edges, rounds=3)
+        .select(F.col("node").alias("doc_id"), "community")
+        .orderBy("doc_id")
+    )
+
+
+def _lpa_round(prev: str, out: str) -> str:
+    return f"""
+n{out} AS (
+  SELECT e.dst AS id, MIN(l.lab) AS nmin
+  FROM und e JOIN {prev} l ON e.src = l.id GROUP BY e.dst
+),
+{out} AS (
+  SELECT p.id, LEAST(p.lab, COALESCE(n.nmin, p.lab)) AS lab
+  FROM {prev} p LEFT JOIN n{out} n ON p.id = n.id
+)"""
+
+
+DOC_COMMUNITIES_SQL = f"""
+WITH pairs AS (SELECT a, b FROM ({DEDUP_JACCARD_SQL}) j
+               WHERE jaccard >= 0.8),
+und AS (SELECT a AS src, b AS dst FROM pairs
+        UNION SELECT b, a FROM pairs),
+l0 AS (SELECT DISTINCT src AS id, src AS lab FROM und),
+{_lpa_round('l0', 'l1')},
+{_lpa_round('l1', 'l2')},
+{_lpa_round('l2', 'l3')}
+SELECT id AS doc_id, lab AS community FROM l3 ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2487,4 +2710,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "contamination_ngrams": (contamination_ngrams, CONTAMINATION_SQL),
     "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
     "pq_adc_search": (pq_adc_search, PQ_ADC_SQL),
+    "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
+    "chunk_dedup_ratio": (chunk_dedup_ratio, CHUNK_DEDUP_SQL),
+    "doc_communities_lpa": (doc_communities_lpa, DOC_COMMUNITIES_SQL),
 }

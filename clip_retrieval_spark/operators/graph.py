@@ -147,3 +147,52 @@ def pagerank(
             ).alias("rank"),
         ).localCheckpoint(eager=False)
     return ranks
+
+
+def label_propagation_min(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous min-label propagation: community detection in a
+    FIXED number of rounds. Returns (node, community).
+
+    lab_0(v) = v; lab_{t+1}(v) = min(lab_t(v), min over neighbors
+    lab_t(u)) — i.e. after R rounds each node carries the smallest node
+    id within R hops. Converged, this equals connected components
+    (operators.cc is the scale path for that); at a fixed small R it is
+    its own signal — a locality-bounded community id that (unlike
+    frequency-based LPA) is fully deterministic and SQL-expressible, so
+    the driver's DuckDB oracle can replay it exactly by unrolling R
+    rounds.
+
+    Scale shape mirrors ``pagerank``: per round, one shuffle-join of the
+    label table onto the symmetrized adjacency (keyed by node id) + one
+    algebraic min-aggregation (map-side combine absorbs hub fan-in);
+    localCheckpoint truncates lineage between rounds. Hot hubs cost the
+    same as they do in any keyed agg — partial aggregation bounds them.
+    """
+    und = undirect(edges, src, dst).localCheckpoint(eager=False)
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+    )
+    for _ in range(rounds):
+        neigh_min = (
+            und.join(labels, und["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("n"))
+            .agg(F.min("lab").alias("nmin"))
+        )
+        labels = (
+            labels.join(neigh_min, labels["node"] == neigh_min["n"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lab"), F.coalesce("nmin", F.col("lab"))
+                ).alias("lab"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("lab").alias("community"))

@@ -751,3 +751,31 @@ def test_pq_exact_when_codebook_holds_corpus(spark):
     assert {(r["qid"], r["cid"]) for r in adc.collect()} == {
         (r["qid"], r["cid"]) for r in bf.collect()
     }
+
+
+# --- label propagation ------------------------------------------------------
+
+
+def test_label_propagation_min_hop_semantics(spark):
+    """After R rounds each node carries the min id within R hops; at
+    R >= diameter the result equals connected components."""
+    from clip_retrieval_spark.operators.graph import label_propagation_min
+
+    # path 1-2-3-4-5-6 plus separate triangle 10-11-12
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12),
+         (10, 12)],
+        "src long, dst long",
+    )
+    r1 = {
+        r["node"]: r["community"]
+        for r in label_propagation_min(edges, rounds=1).collect()
+    }
+    # 1 hop: node 4 sees min(3,4,5)=3; node 6 sees 5; triangle all -> 10
+    assert r1 == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5,
+                  10: 10, 11: 10, 12: 10}
+    r5 = {
+        r["node"]: r["community"]
+        for r in label_propagation_min(edges, rounds=5).collect()
+    }
+    assert r5 == {n: 1 for n in range(1, 7)} | {10: 10, 11: 10, 12: 10}

@@ -2648,6 +2648,65 @@ SELECT id AS doc_id, lab AS community FROM l3 ORDER BY doc_id
 """
 
 
+def events_scd2_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) compaction of the events
+    stream: per user, collapse consecutive same-``event_type`` rows and
+    emit validity intervals [valid_from, valid_to) per attribute run —
+    the change-data-capture shape a KG needs to version entity facts.
+
+    Two window passes over ONE (user_id)-keyed shuffle (lag to mark run
+    starts, lead over run starts for the closing bound); ties on ts are
+    broken by event_id so both engines agree on run boundaries."""
+    ev = _t(spark, sf, "events").select("event_id", "ts", "user_id",
+                                        "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .drop("prev_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        starts.withColumn("next_ts", F.lead("ts").over(w2))
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.coalesce(
+                F.date_format("next_ts", "yyyy-MM-dd HH:mm:ss"),
+                F.lit("9999-12-31 00:00:00"),
+            ).alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from", "event_type")
+    )
+
+
+EVENTS_SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+starts AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(
+         strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                  '%Y-%m-%d %H:%M:%S'),
+         '9999-12-31 00:00:00') AS valid_to
+FROM starts
+ORDER BY user_id, valid_from, event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2713,4 +2772,5 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
     "chunk_dedup_ratio": (chunk_dedup_ratio, CHUNK_DEDUP_SQL),
     "doc_communities_lpa": (doc_communities_lpa, DOC_COMMUNITIES_SQL),
+    "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
 }

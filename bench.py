@@ -114,11 +114,19 @@ def main() -> None:
     runs_raw["kg_fused_pass"] = kg_samples
 
     total = round(sum(timings.values()), 3)
+    # like-for-like subtotal over the round-3 query set, so round-over-
+    # round totals stay comparable as new queries join the headline list
+    r03_set = set(BENCH_QUERIES) - {"chunk_dedup_ratio",
+                                    "doc_communities_lpa"}
+    total_r03 = round(
+        sum(v for k, v in timings.items() if k in r03_set), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
+                "value_r03_queryset": total_r03,
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs_raw,

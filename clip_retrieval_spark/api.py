@@ -132,6 +132,11 @@ class KGClient:
             k: kwargs.pop(k, meta[k])
             for k in ("dim", "n_cells", "pq_m", "pq_k")
         }
+        # pin derived entity plans (UDF-computed embeddings etc.) so the
+        # count validation below and later queries don't re-execute the
+        # upstream pipeline per action — same hazard/mitigation as
+        # similarity.block_allpairs_cosine's auto-size probes
+        entities = entities.localCheckpoint(eager=False)
         client = cls(entities, index=index, **geometry, **kwargs)
         if index == "ivf":
             if not meta["has_ivf"]:

@@ -2532,12 +2532,18 @@ def chunk_dedup_ratio(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents").select("doc_id", "text")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     n_chunks = F.floor(F.size(toks) / _CHUNK_W).cast("int")
+    # guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark, which
+    # would emit two phantom chunks for sub-8-token docs where the
+    # oracle's range(1, 1) emits none
+    idx = F.when(
+        n_chunks >= 1, F.sequence(F.lit(1), n_chunks)
+    ).otherwise(F.array().cast("array<int>"))
     chunks = (
         docs.select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), n_chunks),
+                    idx,
                     lambda i: F.concat_ws(
                         " ", F.slice(toks, (i - 1) * _CHUNK_W + 1, _CHUNK_W)
                     ),

@@ -210,8 +210,11 @@ class _BitReader:
                 self.marker = nxt
                 self.pos += 1
                 raise ValueError("entropy data ended at marker")
-        self.bitbuf = (self.bitbuf << 8) | b
-        self.nbits += 8
+        # _fill only runs at nbits == 0, so the buffer is exactly one
+        # byte — assigning (not accumulating) keeps the int small and
+        # decode O(n) in entropy-stream length
+        self.bitbuf = b
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -277,7 +280,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
-        if marker == 0xD8:
+        if marker == 0xFF:  # T.81 B.1.1.2: optional 0xFF fill bytes
+            pos += 1
+            continue
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (SOI / TEM / stray RSTn): no segment
             pos += 2
             continue
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])

@@ -78,12 +78,13 @@ def main(argv: list[str] | None = None) -> dict:
     entities = spark.read.parquet(os.path.join(args.out, "entities"))
     idx_dir = os.path.join(args.out, "index")
     t0 = time.monotonic()
-    build_index_tables(
-        entities, idx_dir, dim=DIM, n_cells=args.n_cells,
-        pq_m=args.pq_m, pq_k=args.pq_k,
-        id_col="entity_id", vec_col="embedding",
-        skip_ivf=(args.index == "pq"), skip_pq=(args.index == "ivf"),
-    )
+    if args.index != "flat":  # flat scans entities directly — no build
+        build_index_tables(
+            entities, idx_dir, dim=DIM, n_cells=args.n_cells,
+            pq_m=args.pq_m, pq_k=args.pq_k,
+            id_col="entity_id", vec_col="embedding",
+            skip_ivf=(args.index == "pq"), skip_pq=(args.index == "ivf"),
+        )
     timings["index_sec"] = round(time.monotonic() - t0, 2)
 
     t0 = time.monotonic()

@@ -78,12 +78,21 @@ def test_every_query_is_oracled():
 
 
 @pytest.mark.parametrize(
-    "name", ["contamination_ngrams", "sample_stratified"]
+    "name",
+    [
+        "contamination_ngrams",
+        "sample_stratified",
+        "url_canonicalize",
+        "chunk_dedup_ratio",
+        "doc_communities_lpa",
+        "events_scd2_intervals",
+    ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):
-    """The two newest gates, verified at a SECOND scale (sf0.001) so a
-    scale-dependent regression (e.g. a sampling-hash boundary) surfaces
-    in pytest, not only in the driver's sf0.01 round."""
+    """The newest gates, verified at a SECOND scale (sf0.001) so a
+    scale-dependent regression (e.g. a sampling-hash boundary or a
+    short-document edge case) surfaces in pytest, not only in the
+    driver's sf0.01 round."""
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     for t in TABLES:
@@ -104,3 +113,42 @@ def test_newest_gates_match_oracle_second_scale(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_chunk_dedup_short_docs_edge(spark, tmp_path):
+    """Docs with fewer than 8 tokens must produce NO chunk rows on
+    either engine (regression: Spark's sequence(1, 0) is the DESCENDING
+    [1, 0], which once emitted two phantom chunks per short doc)."""
+    import duckdb as _dd
+
+    import clip_retrieval_spark.entry_queries as eq
+
+    sf = str(tmp_path)
+    rows = [
+        (1, "only seven tokens are present right here", "en", "s", 40),
+        (2, "a b c d e f g h i j k l m n o p", "en", "s", 30),
+        (3, "a b c d e f g h i j k l m n o p", "en", "s", 30),
+        (4, "", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    sdf = eq.chunk_dedup_ratio(spark, sf)
+    s_rows = {r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+              for r in sdf.collect()}
+    # doc 1 (7 tokens) and doc 4 (empty) have no chunks -> absent;
+    # docs 2/3 share both 8-token chunks -> all duplicated
+    assert s_rows == {2: (2, 2), 3: (2, 2)}
+
+    con = _dd.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" '{sf}/documents.parquet/*.parquet'"
+    )
+    d_rows = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(eq.CHUNK_DEDUP_SQL).fetchall()
+    }
+    assert d_rows == s_rows

@@ -141,3 +141,58 @@ def test_spark_jpeg_features_and_thumbnails(spark):
     t1 = decode_jpeg(bytes(thumbs[1]["thumb"]))  # format-preserving
     assert t1.shape == (16, 16, 3)
     assert abs(t1.mean() - img.mean()) < 8.0
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    # T.81 B.1.1.2 permits 0xFF fill bytes before any marker, and TEM
+    # (0x01) is a standalone marker with no length field — both occur
+    # in wild encoder output and must not be parsed as segments
+    good = encode_jpeg(_gradient(h=16, w=16))
+    i = bytes(good).index(b"\xff\xdb")
+    patched = good[:i] + b"\xff\xff\xff\x01" + good[i:]
+    dec = decode_jpeg(patched)
+    assert dec.shape == (16, 16, 3)
+
+
+def test_decode_is_linear_in_entropy_bytes():
+    # regression: the bit reader once accumulated the whole entropy
+    # stream into one growing bignum (O(n^2)); a ~100 KB stream must
+    # decode in seconds, not hours
+    import time
+
+    rng = np.random.default_rng(3)
+    img = np.clip(
+        np.cumsum(rng.normal(0, 8, (256, 256, 3)), axis=1) + 128, 0, 255
+    ).astype(np.uint8)
+    enc = encode_jpeg(img, quality=90)
+    assert len(enc) > 30_000
+    t0 = time.monotonic()
+    decode_jpeg(enc)
+    assert time.monotonic() - t0 < 30.0
+
+
+def test_fuzz_decoder_never_hangs_or_leaks_exceptions():
+    """Property: arbitrary mutations of a valid stream either decode or
+    raise ValueError/NotImplementedError — never IndexError/struct
+    .error/zlib.error/infinite loop (the corrupt-row contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = encode_jpeg(_gradient(h=16, w=16), quality=90)
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(0, len(base) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(base)),
+    )
+    def _one(pos, val, cut):
+        mutated = bytearray(base[:cut] or b"\x00")
+        if pos < len(mutated):
+            mutated[pos] = val
+        try:
+            decode_jpeg(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            pass
+
+    _one()

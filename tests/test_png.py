@@ -206,3 +206,30 @@ def test_spark_thumbnails_have_real_pixels(spark):
     f1 = np.array(feats[1]["feature"])
     assert f1.shape == (16,) and np.all(f1 >= 0)
     assert abs(float(np.linalg.norm(f1)) - 1.0) < 1e-5
+
+
+def test_fuzz_png_decoder_exception_contract():
+    """Property: arbitrary mutations of a valid PNG either decode or
+    raise ValueError/NotImplementedError — never struct.error /
+    zlib.error / IndexError (the documented corrupt-row contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = encode_png(_gradient(h=12, w=12))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(0, len(base) - 1),
+        val=st.integers(0, 255),
+        cut=st.integers(0, len(base)),
+    )
+    def _one(pos, val, cut):
+        mutated = bytearray(base[:cut] or b"\x00")
+        if pos < len(mutated):
+            mutated[pos] = val
+        try:
+            decode_png(bytes(mutated))
+        except (ValueError, NotImplementedError):
+            pass
+
+    _one()

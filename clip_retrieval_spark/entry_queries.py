@@ -2713,6 +2713,228 @@ ORDER BY user_id, valid_from, event_type
 """
 
 
+def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators.dedup.semantic_dedup): assign embeddings to
+    the 8 seed centroids (first 8 rows by vec_id, raw values), then
+    within each cell drop every vector whose cosine to a lower-id
+    cell-mate rounds to >= 0.30. The operator's dim-ordered gram
+    accumulation is bit-identical to DuckDB's list_dot_product fold,
+    so the oracle replays assignment + EXISTS drop rule exactly."""
+    from clip_retrieval_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .withColumn(
+            "cell_id",
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).cast(
+                "int"
+            ),
+        )
+        .select("cell_id", F.col("embedding").alias("centroid"))
+    )
+    return semantic_dedup(emb, cents, threshold=0.30).orderBy("vec_id")
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::INT AS cell, v AS cv
+  FROM pts ORDER BY vec_id LIMIT 8
+),
+a AS ({_KM_ASSIGN.format(cents="c0")}),
+nrm AS (
+  SELECT a.vec_id, a.cell,
+         CASE WHEN list_dot_product(p.v, p.v) = 0 THEN p.v
+              ELSE list_transform(
+                     p.v, x -> x / sqrt(list_dot_product(p.v, p.v)))
+         END AS nv
+  FROM a JOIN pts p USING (vec_id)
+),
+dup AS (
+  SELECT DISTINCT hi.vec_id
+  FROM nrm hi JOIN nrm lo
+    ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+  WHERE ROUND(list_dot_product(hi.nv, lo.nv), 6) >= 0.30
+)
+SELECT n.vec_id, n.cell AS cell_id, (d.vec_id IS NULL) AS keep
+FROM nrm n LEFT JOIN dup d ON n.vec_id = d.vec_id
+ORDER BY n.vec_id
+"""
+
+
+def lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram language-model perplexity per document, trained on the
+    corpus itself with add-1 smoothing — the KenLM-style quality
+    signal LLM-data pipelines score every page with (high perplexity
+    under an in-domain LM ~ boilerplate/garble).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V); per-doc score is the
+    mean negative log-likelihood over its bigrams, ppl = exp(mean).
+
+    Scale shape: bigram counts are algebraic (map-side combinable);
+    the score join is keyed by the bigram and co-partitions with the
+    count shuffle; V is a broadcast scalar. Hub contexts ('the', 'of')
+    are the skew class functions.skew handles — AQE skew-join splits
+    the ctx join at cluster scale."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    tk = docs.select("doc_id", toks.alias("t"))
+    occ = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", F.lit(1), F.size("t") - 1),
+                    F.slice("t", F.lit(2), F.size("t") - 1),
+                    lambda a, b: F.struct(
+                        a.alias("w1"), b.alias("w2")
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    bgc = occ.groupBy("w1", "w2").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    ctx = bgc.groupBy("w1").agg(F.sum("cnt").alias("cw"))
+    vocab = tk.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    scored = (
+        occ.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log((F.col("cnt") + 1) / (F.col("cw") + F.col("v"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .withColumn("ppl", F.round(F.exp("avg_nll"), 4))
+        .orderBy("doc_id")
+    )
+
+
+LM_PERPLEXITY_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT * FROM tk WHERE len(t) >= 2),
+       LATERAL (SELECT unnest(range(1, len(t))) AS i) ix
+),
+bgc AS (SELECT w1, w2, COUNT(*)::DOUBLE AS cnt FROM occ GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(cnt) AS cw FROM bgc GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT tok)::DOUBLE AS v
+  FROM (SELECT unnest(t) AS tok FROM tk)
+),
+scored AS (
+  SELECT o.doc_id, -ln((b.cnt + 1) / (c.cw + vocab.v)) AS nll
+  FROM occ o JOIN bgc b USING (w1, w2) JOIN ctx c USING (w1)
+  CROSS JOIN vocab
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(nll), 6) AS avg_nll,
+       ROUND(EXP(ROUND(AVG(nll), 6)), 4) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def link_prediction_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """KG link prediction by neighborhood Jaccard (common-neighbors
+    normalized): over the near-dup similarity graph (Jaccard >= 0.8
+    edges, same graph as doc_triangle_counts / doc_communities_lpa),
+    score every non-adjacent pair at distance 2 with
+    |N(u) n N(v)| / |N(u) u N(v)| and emit the top 50 predicted
+    links — the classic missing-edge heuristic a KG completion pass
+    runs before any learned model.
+
+    Scale shape: the wedge join fans out as sum(deg(x)^2) over shared
+    neighbors x — hub-bounded; production callers cap or orient hubs
+    exactly as operators.graph.triangle_counts does. Aggregations are
+    algebraic; the final top-k is a single total-order sort."""
+    pairs = (
+        dedup_jaccard_pairs(spark, sf)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a", "b")
+    )
+    und = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(
+        F.count("*").cast("double").alias("deg")
+    ).withColumnRenamed("a", "n")
+    e1 = und.select(F.col("b").alias("x"), F.col("a").alias("u"))
+    e2 = und.select(F.col("b").alias("x"), F.col("a").alias("v"))
+    common = (
+        e1.join(e2, "x")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = common.join(
+        pairs,
+        (common["u"] == pairs["a"]) & (common["v"] == pairs["b"]),
+        "left_anti",
+    )
+    du = deg.withColumnRenamed("deg", "deg_u")
+    dv = deg.withColumnRenamed("deg", "deg_v")
+    return (
+        cand.join(du, cand["u"] == du["n"])
+        .drop("n")
+        .join(dv, cand["v"] == dv["n"])
+        .drop("n")
+        .select(
+            F.col("u").alias("a"),
+            F.col("v").alias("b"),
+            F.col("cn").alias("common_nb"),
+            F.round(
+                F.col("cn")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("cn")),
+                6,
+            ).alias("jac"),
+        )
+        .orderBy(F.desc("jac"), "a", "b")
+        .limit(50)
+    )
+
+
+LINK_PREDICTION_SQL = f"""
+WITH pairs AS (SELECT a, b FROM ({DEDUP_JACCARD_SQL}) j
+               WHERE jaccard >= 0.8),
+und AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT a AS n, COUNT(*)::DOUBLE AS deg FROM und GROUP BY a),
+common AS (
+  SELECT e1.a AS u, e2.a AS v, COUNT(*)::BIGINT AS cn
+  FROM und e1 JOIN und e2 ON e1.b = e2.b AND e1.a < e2.a
+  GROUP BY e1.a, e2.a
+),
+cand AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pairs p WHERE p.a = c.u AND p.b = c.v
+  )
+)
+SELECT c.u AS a, c.v AS b, c.cn AS common_nb,
+       ROUND(c.cn / (du.deg + dv.deg - c.cn), 6) AS jac
+FROM cand c JOIN deg du ON du.n = c.u JOIN deg dv ON dv.n = c.v
+ORDER BY jac DESC, a, b LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2778,5 +3000,8 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "url_canonicalize": (url_canonicalize, URL_CANONICALIZE_SQL),
     "chunk_dedup_ratio": (chunk_dedup_ratio, CHUNK_DEDUP_SQL),
     "doc_communities_lpa": (doc_communities_lpa, DOC_COMMUNITIES_SQL),
+    "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
+    "lm_perplexity": (lm_perplexity, LM_PERPLEXITY_SQL),
+    "link_prediction_topk": (link_prediction_topk, LINK_PREDICTION_SQL),
     "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
 }

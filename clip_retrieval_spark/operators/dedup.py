@@ -154,3 +154,99 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 1024,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    dedup over an embedding column: cluster the space with the given
+    centroid codebook (operators.kmeans.assign_cells — broadcast
+    codebook, narrow argmin, the corpus never shuffles for the
+    assignment), then within each cluster drop every item whose
+    cosine similarity to ANY lower-id item in the same cluster rounds
+    to >= ``threshold``. The reference ships the same concern as
+    embedding dedup before indexing (clip_back.py:257-309); SemDeDup
+    is its corpus-curation generalization.
+
+    Keeper rule is greedy-by-id against ALL lower-id members (not just
+    kept ones) — deterministic under any parallelism and expressible
+    as a single EXISTS, so a SQL oracle can replay it exactly.
+
+    Returns (id_col, cell_id int, keep boolean).
+
+    Determinism contract: every dot product — the norm and the pairwise
+    gram — is accumulated IN DIMENSION ORDER (a vectorized left fold),
+    bit-identical to DuckDB's list_dot_product and to the JVM
+    F.aggregate fold in operators.kmeans._dot, so ROUND(cos, round_to)
+    agrees across engines; plain BLAS matmul would reorder the sums
+    and flip boundary cases.
+
+    Scale shape: one shuffle, keyed by cell_id. Per-task cost is
+    O(m^2 d / block) for an m-member cluster with memory bounded by
+    block_rows x m; codebook size (n/avg_cluster_size) sets the
+    parallelism, and pathological hot cells are the same skew class
+    the LSH bucket cap handles — cap cluster membership upstream or
+    split hot cells into salted sub-cells before calling.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from clip_retrieval_spark.operators.kmeans import assign_cells
+
+    assigned = assign_cells(
+        emb.select(id_col, vec_col),
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_to=round_to,
+    )
+
+    def _fold_gram(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # (r, d) x (c, d) -> (r, c), accumulating over d in order:
+        # acc_rc <- acc_rc + a_rk * b_ck for k = 0..d-1, the same
+        # scalar operation order as a sequential fold over dims
+        acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+        for k in range(a.shape[1]):
+            acc += np.outer(a[:, k], b[:, k])
+        return acc
+
+    def _one_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+        n = x.shape[0]
+        sq = np.zeros(n, dtype=np.float64)
+        for k in range(x.shape[1]):  # dim-ordered, see contract above
+            sq += x[:, k] * x[:, k]
+        nz = np.sqrt(sq)
+        nz[nz == 0.0] = 1.0
+        xn = x / nz[:, None]
+        dup = np.zeros(n, dtype=bool)
+        for s in range(0, n, block_rows):
+            e = min(s + block_rows, n)
+            for cs in range(0, s + 1, block_rows):
+                ce = min(cs + block_rows, e)
+                g = np.round(_fold_gram(xn[s:e], xn[cs:ce]), round_to)
+                m = g >= threshold
+                if cs == s:  # diagonal tile: strictly-lower ids only
+                    m &= np.tri(e - s, ce - cs, k=-1, dtype=bool)
+                dup[s:e] |= m.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell_id": pdf["cell_id"],
+                "keep": ~dup,
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        _one_cell, schema=f"{id_col} long, cell_id int, keep boolean"
+    )

@@ -86,6 +86,9 @@ def test_every_query_is_oracled():
         "chunk_dedup_ratio",
         "doc_communities_lpa",
         "events_scd2_intervals",
+        "semantic_dedup_keep",
+        "lm_perplexity",
+        "link_prediction_topk",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -779,3 +779,46 @@ def test_label_propagation_min_hop_semantics(spark):
         for r in label_propagation_min(edges, rounds=5).collect()
     }
     assert r5 == {n: 1 for n in range(1, 7)} | {10: 10, 11: 10, 12: 10}
+
+
+def test_semantic_dedup_matches_numpy(spark, vectors):
+    """Operator vs an independent numpy replay of the SemDeDup rule:
+    nearest-seed assignment, then drop on rounded cosine >= tau to any
+    lower-id cell-mate. Also: partitioning-invariant."""
+    from clip_retrieval_spark.operators.dedup import semantic_dedup
+
+    rows = vectors.orderBy("vec_id").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    tau, k = 0.30, 6
+    seeds = V[np.argsort(ids)[:k]]  # ids are 0..n-1 sorted already
+    # nearest seed, squared-L2 rounded like assign_cells, tie -> low cell
+    d = np.round(
+        (seeds * seeds).sum(1)[None, :] - 2.0 * (V @ seeds.T), 6
+    )
+    cell = d.argmin(axis=1)
+    Xn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    keep_want = {}
+    for i in range(len(ids)):
+        mates = np.where(
+            (cell == cell[i]) & (ids < ids[i])
+        )[0]
+        cos = np.round(Xn[mates] @ Xn[i], 6) if len(mates) else np.array([])
+        keep_want[int(ids[i])] = not bool((cos >= tau).any())
+
+    cents = spark.createDataFrame(
+        [(int(c), [float(x) for x in seeds[c]]) for c in range(k)],
+        "cell_id int, centroid array<float>",
+    )
+    got_df = semantic_dedup(vectors, cents, threshold=tau, block_rows=64)
+    got = {r["vec_id"]: r["keep"] for r in got_df.collect()}
+    assert got == keep_want
+    assert sum(1 for v in got.values() if not v) > 0  # rule actually fires
+
+    got16 = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            vectors.repartition(16), cents, threshold=tau, block_rows=7
+        ).collect()
+    }
+    assert got16 == got

@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "pq_adc_search",
     "chunk_dedup_ratio",
     "doc_communities_lpa",
+    # link_prediction_topk is gate-only: its wall is dominated by the
+    # same dedup_jaccard_pairs upstream doc_communities_lpa already
+    # times, so benching it would double-count one plan
+    "semantic_dedup_keep",
+    "lm_perplexity",
 ]
 
 
@@ -117,7 +122,9 @@ def main() -> None:
     # like-for-like subtotal over the round-3 query set, so round-over-
     # round totals stay comparable as new queries join the headline list
     r03_set = set(BENCH_QUERIES) - {"chunk_dedup_ratio",
-                                    "doc_communities_lpa"}
+                                    "doc_communities_lpa",
+                                    "semantic_dedup_keep",
+                                    "lm_perplexity"}
     total_r03 = round(
         sum(v for k, v in timings.items() if k in r03_set), 3
     )

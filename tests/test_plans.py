@@ -214,3 +214,47 @@ def test_lsh_band_join_keys_are_longs(spark):
     # xxhash64 output — no exchange keyed on the surface string
     assert not re.search(r"hashpartitioning\([^)]*surface", p), p
     assert not re.search(r"hashpartitioning\(_t#", p), p
+
+
+def test_semantic_dedup_one_keyed_shuffle_broadcast_codebook(spark):
+    """SemDeDup must plan as: broadcast codebook -> narrow assignment
+    -> ONE hashpartitioning(cell_id) exchange into the per-cell pandas
+    gram — the corpus is shuffled exactly once, by cell."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clip_retrieval_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(4)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cell_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    out = semantic_dedup(emb, cents, threshold=0.3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    assert "FlatMapGroupsInPandas" in p
+    assert "BroadcastExchange" in p  # the collected codebook row
+    # exactly one corpus exchange, keyed by the cell id
+    keys = re.findall(r"hashpartitioning\((\w+)", p)
+    assert keys and all(k.startswith("cell_id") for k in keys), keys
+    assert "SortMergeJoin" not in p
+
+
+def test_lm_perplexity_counts_are_map_side_combinable(spark):
+    """The bigram LM's count tables must plan with partial (map-side)
+    aggregation — hub contexts are absorbed before the shuffle — and
+    the corpus-level vocab scalar must join by broadcast, never a
+    shuffle of the scored rows."""
+    p = _plan(spark, "lm_perplexity")
+    assert "partial_count" in p  # map-side combine on bigram counts
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

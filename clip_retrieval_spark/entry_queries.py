@@ -2935,6 +2935,132 @@ ORDER BY jac DESC, a, b LIMIT 50
 """
 
 
+def quality_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-source quantiles of the composite quality score —
+    the distribution audit a curation pass runs before picking filter
+    thresholds (what score cuts the bottom 25%?).
+
+    Uses EXACT interpolating percentiles (F.percentile ==
+    quantile_cont semantics: rank p*(n-1), linear interpolation) so
+    DuckDB replays it bit-for-bit on the 4-decimal-rounded scores.
+    At 10^12 rows the same call site swaps to approx_percentile
+    (t-digest sketch, mergeable, no per-group sort) — exactness here
+    is a small-group property, not the operator contract."""
+    q = quality_scores(spark, sf).select("doc_id", "quality")
+    src = _t(spark, sf, "documents").select("doc_id", "source")
+    aggs = [
+        F.round(F.percentile("quality", F.lit(p)), 4).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in (0.25, 0.5, 0.75, 0.9)
+    ]
+    return (
+        q.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), *aggs)
+        .orderBy("source")
+    )
+
+
+QUALITY_PERCENTILES_SQL = f"""
+WITH q AS (SELECT doc_id, quality FROM ({QUALITY_SQL.replace("ORDER BY doc_id", "")}) s),
+j AS (SELECT d.source, q.quality FROM q JOIN documents d USING (doc_id))
+SELECT source, COUNT(*)::BIGINT AS n_docs,
+       ROUND(quantile_cont(quality, 0.25), 4) AS p25,
+       ROUND(quantile_cont(quality, 0.50), 4) AS p50,
+       ROUND(quantile_cont(quality, 0.75), 4) AS p75,
+       ROUND(quantile_cont(quality, 0.90), 4) AS p90
+FROM j GROUP BY source ORDER BY source
+"""
+
+
+def distinct_sketch_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per source, k=16,
+    cross-checked against the exact distinct count — the mergeable
+    cardinality sketch (Bar-Yossef et al. 2002; the HLL alternative
+    whose estimator is exactly SQL-replayable): hash every distinct
+    token to a uniform fraction in [0,1), keep the k smallest per
+    group, estimate (k-1)/kth_min.
+
+    The hash fraction is the first 13 hex digits of md5 (52 bits —
+    exact in a double) so DuckDB reproduces it digit-for-digit. The
+    sketch itself is an algebraic agg at scale (a bounded min-k heap
+    merges associatively); the exact count rides along here only to
+    report the realized relative error."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    toks = (
+        _doc_tokens(spark, sf)
+        .join(docs, "doc_id")
+        .select("source", "tok")
+        .distinct()
+    )
+    frac = (
+        F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("double")
+        / F.lit(float(16**13))
+    )
+    hashed = toks.select("source", frac.alias("frac"))
+    k = 16
+    w = Window.partitionBy("source").orderBy("frac")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == k)
+        .select("source", F.col("frac").alias("kth"))
+    )
+    exact = hashed.groupBy("source").agg(
+        F.count("*").alias("exact_distinct")
+    )
+    return (
+        exact.join(kth, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.round((F.lit(k - 1) / F.col("kth")), 2).alias(
+                "kmv_estimate"
+            ),
+            F.round(
+                F.abs(F.lit(k - 1) / F.col("kth") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+DISTINCT_KMV_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT d.source, t.tok
+  FROM ({_DOC_TOKENS_SQL}) t JOIN documents d USING (doc_id)
+),
+hashed AS (
+  SELECT source,
+         list_reduce(
+           list_transform(range(1, 14),
+             i -> strpos('0123456789abcdef',
+                         substr(md5(tok), i, 1)) - 1),
+           (acc, x) -> acc * 16 + x)::DOUBLE / {float(16**13)} AS frac
+  FROM toks
+),
+kth AS (
+  SELECT source, frac AS kth FROM (
+    SELECT source, frac,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY frac) AS rn
+    FROM hashed
+  ) WHERE rn = 16
+),
+exact AS (
+  SELECT source, COUNT(*)::BIGINT AS exact_distinct
+  FROM hashed GROUP BY source
+)
+SELECT e.source, e.exact_distinct,
+       ROUND(15 / k.kth, 2) AS kmv_estimate,
+       ROUND(ABS(15 / k.kth - e.exact_distinct) / e.exact_distinct, 4)
+         AS rel_err
+FROM exact e JOIN kth k USING (source)
+ORDER BY e.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3003,5 +3129,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "semantic_dedup_keep": (semantic_dedup_keep, SEMANTIC_DEDUP_SQL),
     "lm_perplexity": (lm_perplexity, LM_PERPLEXITY_SQL),
     "link_prediction_topk": (link_prediction_topk, LINK_PREDICTION_SQL),
+    "quality_percentiles": (quality_percentiles, QUALITY_PERCENTILES_SQL),
+    "distinct_sketch_kmv": (distinct_sketch_kmv, DISTINCT_KMV_SQL),
     "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
 }

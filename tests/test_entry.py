@@ -89,6 +89,8 @@ def test_every_query_is_oracled():
         "semantic_dedup_keep",
         "lm_perplexity",
         "link_prediction_topk",
+        "quality_percentiles",
+        "distinct_sketch_kmv",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

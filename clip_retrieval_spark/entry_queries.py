@@ -3061,6 +3061,50 @@ ORDER BY e.source
 """
 
 
+def doc_kcore_members(spark: SparkSession, sf: str) -> DataFrame:
+    """3-round 2-core peeling (operators.graph.kcore_prune) of the
+    near-dup similarity graph: iteratively drop degree-<2 nodes, emit
+    survivors with residual degree — the dense-core pruning a KG runs
+    before canonicalization. The oracle unrolls the three peel rounds
+    in SQL."""
+    from clip_retrieval_spark.operators.graph import kcore_prune
+
+    edges = (
+        dedup_jaccard_pairs(spark, sf)
+        .filter(F.col("jaccard") >= 0.8)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return (
+        kcore_prune(edges, k=2, rounds=3)
+        .select(F.col("node").alias("doc_id"), "deg")
+        .orderBy("doc_id")
+    )
+
+
+def _kcore_round(prev: str, out: str) -> str:
+    return f"""
+d{out} AS (SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src),
+k{out} AS (SELECT src FROM d{out} WHERE deg >= 2),
+{out} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{out} a ON e.src = a.src
+  JOIN k{out} b ON e.dst = b.src
+)"""
+
+
+DOC_KCORE_SQL = f"""
+WITH pairs AS (SELECT a, b FROM ({DEDUP_JACCARD_SQL}) j
+               WHERE jaccard >= 0.8),
+e0 AS (SELECT a AS src, b AS dst FROM pairs
+       UNION SELECT b, a FROM pairs),
+{_kcore_round('e0', 'e1')},
+{_kcore_round('e1', 'e2')},
+{_kcore_round('e2', 'e3')}
+SELECT src AS doc_id, COUNT(*)::BIGINT AS deg
+FROM e3 GROUP BY src ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3131,5 +3175,6 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "link_prediction_topk": (link_prediction_topk, LINK_PREDICTION_SQL),
     "quality_percentiles": (quality_percentiles, QUALITY_PERCENTILES_SQL),
     "distinct_sketch_kmv": (distinct_sketch_kmv, DISTINCT_KMV_SQL),
+    "doc_kcore_members": (doc_kcore_members, DOC_KCORE_SQL),
     "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
 }

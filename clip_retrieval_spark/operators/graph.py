@@ -196,3 +196,43 @@ def label_propagation_min(
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("lab").alias("community"))
+
+
+def kcore_prune(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling: drop nodes of degree < k, delete
+    their edges, repeat ``rounds`` times. Returns the surviving nodes
+    with their residual degree — (node, deg).
+
+    A fixed round count makes the result a deterministic SUPERSET of
+    the true k-core (full peeling iterates to fixpoint; operators.cc
+    shows the convergence pattern if needed) and lets a SQL oracle
+    replay it by unrolling the rounds. KG use: prune the long tail of
+    weakly-attested entities before expensive canonicalization — the
+    dense core is where hub-entity skew lives.
+
+    Scale shape: per round, one degree aggregation (algebraic,
+    map-side combinable) and two semi-joins of the edge list against
+    the survivor set, all keyed by node id; localCheckpoint truncates
+    lineage between rounds exactly as pagerank/label_propagation do.
+    """
+    und = undirect(edges, src, dst).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        und = (
+            und.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )

@@ -91,6 +91,7 @@ def test_every_query_is_oracled():
         "link_prediction_topk",
         "quality_percentiles",
         "distinct_sketch_kmv",
+        "doc_kcore_members",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -822,3 +822,29 @@ def test_semantic_dedup_matches_numpy(spark, vectors):
         ).collect()
     }
     assert got16 == got
+
+
+def test_kcore_prune_known_graph(spark):
+    """Peeling semantics on a known graph: a tail node and then the
+    whole path vanish round by round; the triangle is the 2-core."""
+    from clip_retrieval_spark.operators.graph import kcore_prune
+
+    # path 1-2-3-4-5 (melts completely), triangle 10-11-12 with a
+    # pendant 13 hanging off 10 (pendant peels, triangle survives)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12), (10, 13)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["deg"]
+        for r in kcore_prune(edges, k=2, rounds=3).collect()
+    }
+    assert got == {10: 2, 11: 2, 12: 2}
+
+    # one round only: path loses just its endpoints (superset of core)
+    got1 = {
+        r["node"]: r["deg"]
+        for r in kcore_prune(edges, k=2, rounds=1).collect()
+    }
+    assert got1 == {2: 1, 3: 2, 4: 1, 10: 2, 11: 2, 12: 2}

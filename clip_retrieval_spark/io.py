@@ -203,3 +203,59 @@ class TableStore:
             os.path.join(p, f"{stage}-{run_id}.jsonl"), "a", encoding="utf-8"
         ) as f:
             f.write(json.dumps(rec) + "\n")
+
+
+def zorder_key(cols: list[str], bits: int = 16):
+    """Z-order (Morton) interleave of up to 4 non-negative integer
+    columns into one long sort key — multi-dimensional data clustering
+    for scan locality: range-partition + sort by this key and rows
+    close in ALL dimensions land in the same files, so parquet min/max
+    footer stats prune predicates on ANY clustered column (the
+    multi-column generalization of TableStore.clustered_write's
+    single-order IVF reorder; Iceberg exposes the same thing as a
+    z-order sort order).
+
+    Pure JVM bit arithmetic (bits*len(cols) shift/or terms, folded by
+    whole-stage codegen) — no UDF. Columns must already be bucketized
+    to < 2^bits (cast/clip upstream); values >= 2^bits would alias.
+    """
+    if not 1 <= len(cols) <= 4:
+        raise ValueError(f"zorder_key takes 1..4 columns: {cols}")
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(
+                F.lit(1).cast("long")
+            )
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * n + i)
+            )
+    return key
+
+
+def clustered_write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` z-order-clustered on ``cols``: repartitionByRange +
+    sortWithinPartitions on the interleaved key, so every output file
+    covers a compact hyper-rectangle of the clustered dimensions.
+    ``n_files`` pins the range-partition count (otherwise AQE sizes it
+    from data volume — correct at scale, but it collapses toy inputs
+    to one file)."""
+    keyed = df.withColumn("_z", zorder_key(cols, bits))
+    ranged = (
+        keyed.repartitionByRange(n_files, "_z")
+        if n_files
+        else keyed.repartitionByRange("_z")
+    )
+    (
+        ranged.sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -250,3 +250,42 @@ def semantic_dedup(
     return assigned.groupBy("cell_id").applyInPandas(
         _one_cell, schema=f"{id_col} long, cell_id int, keep boolean"
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen: DataFrame | None,
+    content_cols: list[str],
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a NEW ingestion batch against the already-ingested
+    corpus without rescanning it: (1) in-batch min-id-keeper dedup,
+    (2) left-anti join against the persisted content-hash ledger.
+    Returns (kept_rows, ledger_delta) where ledger_delta is the
+    (content_hash, keeper) rows to append to ``seen`` after the batch
+    commits — the streaming/incremental face of ``exact_dedup`` (the
+    reference dedups only within one loaded collection,
+    clip_back.py:257-268; an ingesting corpus needs the ledger form).
+
+    ``seen`` may be None (first batch). Ledger schema:
+    (content_hash long, keeper long).
+
+    Scale shape: the ledger join is keyed by an 8-byte hash — bucket
+    the ledger table on content_hash and the anti join co-locates with
+    no ledger shuffle; the batch side is the small one by construction.
+    """
+    h = F.xxhash64(*content_cols)
+    in_batch = exact_dedup(new_df, content_cols, id_col)
+    hashed = in_batch.withColumn("_content_hash", h)
+    if seen is not None:
+        hashed = hashed.join(
+            seen.select(F.col("content_hash").alias("_content_hash")),
+            "_content_hash",
+            "left_anti",
+        )
+    kept = hashed.drop("_content_hash")
+    delta = hashed.select(
+        F.col("_content_hash").alias("content_hash"),
+        F.col(id_col).alias("keeper"),
+    )
+    return kept, delta

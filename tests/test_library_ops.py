@@ -848,3 +848,85 @@ def test_kcore_prune_known_graph(spark):
         for r in kcore_prune(edges, k=2, rounds=1).collect()
     }
     assert got1 == {2: 1, 3: 2, 4: 1, 10: 2, 11: 2, 12: 2}
+
+
+def test_incremental_dedup_ledger_semantics(spark):
+    from clip_retrieval_spark.operators.dedup import incremental_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],  # 3 dups 1 in-batch
+        "id long, text string",
+    )
+    kept1, delta1 = incremental_dedup(b1, None, ["text"], "id")
+    assert {r["id"] for r in kept1.collect()} == {1, 2}  # min-id keeper
+    ledger = delta1
+    assert ledger.count() == 2
+
+    b2 = spark.createDataFrame(
+        [(10, "beta"), (11, "gamma"), (12, "gamma"), (13, "alpha")],
+        "id long, text string",
+    )
+    kept2, delta2 = incremental_dedup(b2, ledger, ["text"], "id")
+    # beta/alpha already in the ledger; gamma keeps its min id once
+    assert {r["id"] for r in kept2.collect()} == {11}
+    assert {r["keeper"] for r in delta2.collect()} == {11}
+    # columns of kept rows are the input columns, no leaked hash col
+    assert kept2.columns == ["id", "text"]
+
+
+def _py_morton(vals, bits):
+    key = 0
+    n = len(vals)
+    for b in range(bits):
+        for i, v in enumerate(vals):
+            key |= ((v >> b) & 1) << (b * n + i)
+    return key
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from clip_retrieval_spark.io import zorder_key
+
+    import itertools
+    rows = [(x, y) for x, y in itertools.product(range(16), repeat=2)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=4))
+        .collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _py_morton([x, y], 4), (x, y, z)
+
+
+def test_zorder_clustered_write_gives_compact_files(spark, tmp_path):
+    """Every z-clustered output file must cover a compact rectangle of
+    (x, y) — the bounding-box area stays a small fraction of the grid,
+    which is exactly what lets min/max footer stats prune 2-D
+    predicates."""
+    from pyspark.sql import functions as F
+
+    from clip_retrieval_spark.io import clustered_write_zorder
+
+    import itertools
+    rows = [(x, y) for x, y in itertools.product(range(32), repeat=2)]
+    df = spark.createDataFrame(rows, "x int, y int").repartition(8)
+    out = str(tmp_path / "z")
+    clustered_write_zorder(df, out, ["x", "y"], bits=5, n_files=8)
+    back = spark.read.parquet(out).withColumn(
+        "f", F.input_file_name()
+    )
+    spans = (
+        back.groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x") + 1).alias("sx"),
+            (F.max("y") - F.min("y") + 1).alias("sy"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert sum(r["n"] for r in spans) == 1024
+    assert len(spans) > 1
+    for r in spans:
+        # a random shuffle would give ~full-grid 32x32 boxes per file;
+        # z-ranges must stay at most half the grid area
+        assert r["sx"] * r["sy"] <= 512, (r["sx"], r["sy"], r["n"])

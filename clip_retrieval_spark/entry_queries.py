@@ -3105,6 +3105,61 @@ FROM e3 GROUP BY src ORDER BY doc_id
 """
 
 
+def incremental_dedup_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-batch incremental ingestion replay of
+    operators.dedup.incremental_dedup: batch 1 = even doc_ids,
+    batch 2 = odd doc_ids arriving later. The content key is the
+    first-8-token prefix (the corpus has no full-text exact dups, but
+    prefixes collide — chunk_dedup_ratio's chunk 1), so both the
+    in-batch keeper election AND the cross-batch ledger drop really
+    fire. Output: every kept row as (doc_id, batch).
+
+    The oracle replays the same semantics content-wise (key equality
+    instead of the operator's xxhash64 ledger key — identical results
+    absent a 64-bit collision, which the synthetic corpus cannot
+    produce)."""
+    from clip_retrieval_spark.operators.dedup import incremental_dedup
+
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("k8"),
+    )
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    kept1, ledger = incremental_dedup(b1, None, ["k8"], "doc_id")
+    kept2, _ = incremental_dedup(b2, ledger, ["k8"], "doc_id")
+    return (
+        kept1.select("doc_id", F.lit(1).alias("batch"))
+        .unionByName(kept2.select("doc_id", F.lit(2).alias("batch")))
+        .orderBy("doc_id")
+    )
+
+
+INCREMENTAL_DEDUP_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(string_split(text, ' '), x -> x <> '')[1:8],
+           ' ') AS k8
+  FROM documents
+),
+b1 AS (SELECT doc_id, k8 FROM keyed WHERE doc_id % 2 = 0),
+b2 AS (SELECT doc_id, k8 FROM keyed WHERE doc_id % 2 = 1),
+k1 AS (
+  SELECT MIN(doc_id) AS doc_id, 1 AS batch FROM b1 GROUP BY k8
+),
+k2 AS (
+  SELECT MIN(b2.doc_id) AS doc_id, 2 AS batch FROM b2
+  WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.k8 = b2.k8)
+  GROUP BY b2.k8
+)
+SELECT doc_id, batch FROM k1
+UNION ALL SELECT doc_id, batch FROM k2
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3176,5 +3231,9 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "quality_percentiles": (quality_percentiles, QUALITY_PERCENTILES_SQL),
     "distinct_sketch_kmv": (distinct_sketch_kmv, DISTINCT_KMV_SQL),
     "doc_kcore_members": (doc_kcore_members, DOC_KCORE_SQL),
+    "incremental_dedup_batches": (
+        incremental_dedup_batches,
+        INCREMENTAL_DEDUP_SQL,
+    ),
     "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
 }

@@ -92,6 +92,7 @@ def test_every_query_is_oracled():
         "quality_percentiles",
         "distinct_sketch_kmv",
         "doc_kcore_members",
+        "incremental_dedup_batches",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

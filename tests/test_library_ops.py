@@ -930,3 +930,73 @@ def test_zorder_clustered_write_gives_compact_files(spark, tmp_path):
         # a random shuffle would give ~full-grid 32x32 boxes per file;
         # z-ranges must stay at most half the grid area
         assert r["sx"] * r["sy"] <= 512, (r["sx"], r["sy"], r["n"])
+
+
+def test_semantic_dedup_adversarial_vectors(spark):
+    """Zero vectors, exact duplicates, and a singleton cell: zero-norm
+    rows must not crash or NaN (guarded divide), exact duplicates drop
+    to the min id, singletons always keep."""
+    from clip_retrieval_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # seed B
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 0 -> dropped
+        (3, [2.0, 0.0, 0.0, 0.0]),   # same direction -> dropped
+        (4, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+        (5, [0.0, 0.0, 0.0, 0.0]),   # second zero vector
+        (6, [-1.0, 0.2, 0.0, 0.0]),  # negative direction -> kept
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id int, centroid array<float>",
+    )
+    got = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(emb, cents, threshold=0.9).collect()
+    }
+    assert got[0] and not got[2] and not got[3]
+    assert got[1] and got[6]
+    # zero vectors: normalized as-is (guard), cos(0,0)=0 < tau -> kept
+    assert got[4] and got[5]
+    assert len(got) == 7  # no row silently dropped
+
+
+def _py_kcore(edges, k, rounds):
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in und:
+            deg[a] = deg.get(a, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        und = {(a, b) for a, b in und if a in alive and b in alive}
+    deg = {}
+    for a, _b in und:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def test_kcore_matches_python_reference_random(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = list({
+        tuple(sorted((rng.randrange(60), rng.randrange(60))))
+        for _ in range(150)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    from clip_retrieval_spark.operators.graph import kcore_prune
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k, rounds in ((2, 1), (3, 2), (4, 3)):
+        got = {
+            r["node"]: r["deg"]
+            for r in kcore_prune(df, k=k, rounds=rounds).collect()
+        }
+        assert got == _py_kcore(edges, k, rounds), (k, rounds)

@@ -3160,6 +3160,110 @@ ORDER BY doc_id
 """
 
 
+def docs_rollup_source_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUP BY ROLLUP(source, lang): per-(source,lang), per-source,
+    and grand-total doc counts + char sums in ONE aggregation pass —
+    the OLAP subtotal operator (Spark plans it as a single Expand +
+    hash aggregate, not three scans). NULL grouping cells are filled
+    with 'ALL' so the hash compare is unambiguous."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs",
+            "chars",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+DOCS_ROLLUP_SQL = """
+SELECT COALESCE(source, 'ALL') AS source,
+       COALESCE(lang, 'ALL') AS lang,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_chars)::BIGINT AS chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+ORDER BY source, lang
+"""
+
+
+def events_pivot_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot the event stream: one row per user, one count column per
+    event type (fixed column set — the reshape analytics dashboards
+    ask for). Spark's pivot with an EXPLICIT value list stays a single
+    hash aggregate (no extra distinct-values job); the oracle is the
+    equivalent conditional aggregation."""
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count("event_id"))
+        .na.fill(0, types)
+        .select(
+            "user_id",
+            *[F.col(t).cast("long").alias(f"n_{t}") for t in types],
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+         AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+         AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT
+         AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+         AS n_view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user 1-hour trailing moving average of event values — the
+    RANGE-frame window class (frame bounded by event-TIME distance,
+    not row count): avg over [ts - 1h, ts]. One (user_id)-keyed
+    shuffle; ties inside the frame don't affect the set-valued frame
+    so both engines agree exactly on the 4-decimal round."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        # NTZ -> epoch seconds (frame math uses DIFFERENCES, so the
+        # session-tz offset of the double cast cancels)
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.withColumn("ma_1h", F.round(F.avg("value").over(w), 4))
+        .select("event_id", "user_id", "ma_1h")
+        .orderBy("event_id")
+    )
+
+
+EVENTS_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ), 4) AS ma_1h
+FROM events ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3235,5 +3339,11 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
         incremental_dedup_batches,
         INCREMENTAL_DEDUP_SQL,
     ),
+    "docs_rollup_source_lang": (
+        docs_rollup_source_lang,
+        DOCS_ROLLUP_SQL,
+    ),
+    "events_pivot_types": (events_pivot_types, EVENTS_PIVOT_SQL),
+    "events_moving_avg": (events_moving_avg, EVENTS_MOVING_AVG_SQL),
     "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
 }

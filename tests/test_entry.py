@@ -93,6 +93,9 @@ def test_every_query_is_oracled():
         "distinct_sketch_kmv",
         "doc_kcore_members",
         "incremental_dedup_batches",
+        "docs_rollup_source_lang",
+        "events_pivot_types",
+        "events_moving_avg",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -258,3 +258,22 @@ def test_lm_perplexity_counts_are_map_side_combinable(spark):
     assert "partial_count" in p  # map-side combine on bigram counts
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "CartesianProduct" not in p
+
+
+def test_rollup_is_single_expand_pass(spark):
+    """ROLLUP must plan as ONE Expand + hash aggregate over one scan —
+    not a union of three scans/aggregations."""
+    p = _plan(spark, "docs_rollup_source_lang")
+    assert p.count("Expand") >= 1
+    assert "Union" not in p
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_pivot_explicit_values_single_aggregate(spark):
+    """Pivot with an explicit value list must not run a distinct-values
+    pre-job or union per-type scans: one scan, pivot aggregate."""
+    p = _plan(spark, "events_pivot_types")
+    tree = p.split("\n\n", 1)[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "Union" not in p

@@ -3264,6 +3264,61 @@ FROM events ORDER BY event_id
 """
 
 
+def topk_tokens_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source top-5 most frequent tokens (exact heavy hitters) —
+    the corpus-profiling pass that feeds stopword lists and boilerplate
+    detectors. Exact counts here (algebraic agg + per-group window
+    top-k with WindowGroupLimit pruning); at 10^12 tokens the same
+    call site swaps the exact count for a count-min / space-saving
+    sketch — mergeable, bounded memory — exactness is a small-group
+    property, not the contract. Ties break lexicographically so both
+    engines emit identical rank sets."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    toks = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .join(docs, "doc_id")
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("cnt"), F.asc("tok")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "tok", "cnt", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+TOPK_TOKENS_SQL = """
+WITH toks AS (
+  SELECT d.source, t.tok
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents) t
+  JOIN documents d USING (doc_id)
+  WHERE t.tok <> ''
+),
+counts AS (
+  SELECT source, tok, COUNT(*)::BIGINT AS cnt
+  FROM toks GROUP BY source, tok
+),
+ranked AS (
+  SELECT source, tok, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok ASC) AS rnk
+  FROM counts
+)
+SELECT source, tok, cnt, rnk FROM ranked
+WHERE rnk <= 5 ORDER BY source, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3345,5 +3400,6 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "events_pivot_types": (events_pivot_types, EVENTS_PIVOT_SQL),
     "events_moving_avg": (events_moving_avg, EVENTS_MOVING_AVG_SQL),
+    "topk_tokens_by_source": (topk_tokens_by_source, TOPK_TOKENS_SQL),
     "events_scd2_intervals": (events_scd2_intervals, EVENTS_SCD2_SQL),
 }

@@ -96,6 +96,7 @@ def test_every_query_is_oracled():
         "docs_rollup_source_lang",
         "events_pivot_types",
         "events_moving_avg",
+        "topk_tokens_by_source",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

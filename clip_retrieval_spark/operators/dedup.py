@@ -164,6 +164,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     block_rows: int = 1024,
     round_to: int = 6,
+    max_cell: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
     dedup over an embedding column: cluster the space with the given
@@ -191,9 +192,17 @@ def semantic_dedup(
     Scale shape: one shuffle, keyed by cell_id. Per-task cost is
     O(m^2 d / block) for an m-member cluster with memory bounded by
     block_rows x m; codebook size (n/avg_cluster_size) sets the
-    parallelism, and pathological hot cells are the same skew class
-    the LSH bucket cap handles — cap cluster membership upstream or
-    split hot cells into salted sub-cells before calling.
+    parallelism. Pathological hot cells are the same skew class the
+    LSH bucket cap handles: pass ``max_cell`` and any cell with more
+    members is split into ceil(m / max_cell) SALTED sub-cells
+    (salt = pmod(xxhash64(id), n_salt) — deterministic under any
+    parallelism), bounding every task at ~max_cell rows. Tradeoff,
+    stated not hidden: duplicates land in the same sub-cell only
+    probabilistically, so the salted path trades recall inside hot
+    cells for a hard task-size bound (identical vectors hash to
+    DIFFERENT salts only when their IDS differ — exact copies of one
+    id never split). max_cell=None (default) is the exact path the
+    SQL oracle replays.
     """
     import numpy as np
     import pandas as pd
@@ -247,8 +256,27 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cell_id").applyInPandas(
-        _one_cell, schema=f"{id_col} long, cell_id int, keep boolean"
+    out_schema = f"{id_col} long, cell_id int, keep boolean"
+    if max_cell is None:
+        return assigned.groupBy("cell_id").applyInPandas(
+            _one_cell, schema=out_schema
+        )
+    # salted split of hot cells (see docstring): n_salt derived from
+    # the per-cell count via a broadcast side table — one extra
+    # algebraic agg, no second scan of the vectors
+    counts = assigned.groupBy("cell_id").agg(
+        F.ceil(F.count("*") / max_cell).cast("int").alias("_n_salt")
+    )
+    salted = assigned.join(F.broadcast(counts), "cell_id").withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_n_salt")).cast("int"),
+    )
+    return (
+        salted.groupBy("cell_id", "_salt")
+        .applyInPandas(
+            lambda pdf: _one_cell(pdf.drop(columns=["_n_salt", "_salt"])),
+            schema=out_schema,
+        )
     )
 
 

@@ -1000,3 +1000,40 @@ def test_kcore_matches_python_reference_random(spark):
             for r in kcore_prune(df, k=k, rounds=rounds).collect()
         }
         assert got == _py_kcore(edges, k, rounds), (k, rounds)
+
+
+def test_semantic_dedup_salted_hot_cell_bound(spark):
+    """max_cell splits a pathological hot cell into salted sub-cells:
+    per-task row counts stay bounded, the result remains deterministic
+    under repartitioning, and within-salt duplicates still drop."""
+    import numpy as np
+
+    from clip_retrieval_spark.operators.dedup import semantic_dedup
+
+    n = 5000  # one giant cell: every vector near the same direction
+    rng = np.random.default_rng(5)
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    rows = [
+        (i, [float(x) for x in base + rng.normal(0, 1e-3, 4)])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id int, centroid array<float>",
+    )
+    got = semantic_dedup(
+        emb, cents, threshold=0.999, max_cell=256
+    ).collect()
+    assert len(got) == n  # every row classified
+    kept = sum(1 for r in got if r["keep"])
+    # ~20 salted sub-cells, one keeper each (all vectors are near-dups)
+    assert kept <= 64, kept
+    assert kept >= 10  # but one per sub-cell survives — salted recall
+
+    got16 = semantic_dedup(
+        emb.repartition(16), cents, threshold=0.999, max_cell=256
+    ).collect()
+    assert {(r["vec_id"], r["keep"]) for r in got16} == {
+        (r["vec_id"], r["keep"]) for r in got
+    }

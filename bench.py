@@ -66,11 +66,35 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _wait_for_idle() -> dict:
+    """Load gate (round-4 verdict: BENCH_r04 started at loadavg 11.4 and
+    its per-query walls were contention, not signal). Poll until 1-min
+    loadavg drops below SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0) or
+    SPARK_GRAFT_BENCH_LOAD_WAIT seconds (default 900) elapse, then
+    proceed either way — the returned record rides the output JSON so a
+    run that started contaminated self-identifies instead of silently
+    publishing noise."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "900"))
+    t0 = time.monotonic()
+    while True:
+        la = _loadavg()
+        waited = round(time.monotonic() - t0, 1)
+        if not la or la[0] < threshold:
+            return {"threshold": threshold, "waited_sec": waited,
+                    "satisfied": True, "loadavg": la}
+        if waited >= max_wait:
+            return {"threshold": threshold, "waited_sec": waited,
+                    "satisfied": False, "loadavg": la}
+        time.sleep(min(15.0, max(max_wait - waited, 1.0)))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    load_gate = _wait_for_idle()
     spark = get_spark(
         master=f"local[{cpus}]", app_name="bench", shuffle_partitions=int(cpus)
     )
@@ -140,6 +164,7 @@ def main() -> None:
                 "n_runs": n_runs,
                 "loadavg_start": load_start,
                 "loadavg_end": _loadavg(),
+                "load_gate": load_gate,
                 "sf": float(sf),
                 "cpus": int(cpus),
                 "kg_pages": n_pages,

@@ -172,8 +172,14 @@ def label_propagation_min(
     algebraic min-aggregation (map-side combine absorbs hub fan-in);
     localCheckpoint truncates lineage between rounds. Hot hubs cost the
     same as they do in any keyed agg — partial aggregation bounds them.
+
+    The edge set is checkpointed EAGERLY (round-4 verdict): every round
+    joins ``und``, and with a lazy checkpoint concurrent downstream
+    stages can each re-derive the (possibly expensive) upstream edge
+    construction before any partition is persisted. One eager pass pins
+    the materialized blocks first, as operators.cc does.
     """
-    und = undirect(edges, src, dst).localCheckpoint(eager=False)
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -220,8 +226,10 @@ def kcore_prune(
     map-side combinable) and two semi-joins of the edge list against
     the survivor set, all keyed by node id; localCheckpoint truncates
     lineage between rounds exactly as pagerank/label_propagation do.
+    The initial edge set is checkpointed eagerly for the same reason as
+    label_propagation_min (see its docstring).
     """
-    und = undirect(edges, src, dst).localCheckpoint(eager=False)
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
     for _ in range(rounds):
         deg = und.groupBy("src").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")

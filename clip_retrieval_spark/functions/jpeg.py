@@ -1,18 +1,19 @@
-"""Pure-stdlib baseline-JFIF JPEG codec (ITU T.81 sequential DCT).
+"""Pure-stdlib JPEG codec: baseline (SOF0) and progressive (SOF2),
+ITU T.81 sequential + progressive DCT.
 
 The reference decodes JPEG on every inference path via PIL
 (reference clip_inference/reader.py:101,163); PIL is absent in this
-container, and baseline JPEG is public knowledge: canonical Huffman
-entropy coding + 8x8 DCT + zigzag quantization. This module implements
-exactly the subset web thumbnails overwhelmingly use — baseline
-(SOF0), 8-bit, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0 sampling,
-optional restart markers — so JPEG payloads in the multimodal operators
-yield REAL pixels, mirroring functions/png.py.
+container, and JPEG is public knowledge: canonical Huffman entropy
+coding + 8x8 DCT + zigzag quantization, with progressive adding
+spectral selection and successive approximation (T.81 Annex G). This
+module implements the subsets web images overwhelmingly use — baseline
+and progressive, 8-bit, 1 or 3 components, 4:4:4 / 4:2:2 / 4:2:0
+sampling, restart markers, EOBn run-length codes — so JPEG payloads in
+the multimodal operators yield REAL pixels, mirroring functions/png.py.
 
-Unsupported variants raise NotImplementedError explicitly: progressive
-(SOF2), arithmetic coding, 12-bit depth, hierarchical. Malformed input
-raises ValueError (the corrupt-row contract of the multimodal
-operators).
+Unsupported variants raise NotImplementedError explicitly: arithmetic
+coding, 12-bit depth, hierarchical, lossless. Malformed input raises
+ValueError (the corrupt-row contract of the multimodal operators).
 
 Performance note: entropy decode is a per-bit Python loop — fine for
 the thumbnail-sized fixtures the tests and Pandas-UDF batches handle;
@@ -275,6 +276,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None  # (height, width, components)
     restart_interval = 0
+    progressive = False
+    prog = None  # progressive state: coefficient store + layout
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -316,7 +319,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 dec = _HuffDecoder(bits, huffval)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 s += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
@@ -327,7 +330,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            if marker == 0xC2:
+                progressive = True
+                prog = _prog_init(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline frame type SOF{marker - 0xC0}"
@@ -338,6 +344,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError("short SOS header")
+            if progressive:
+                scan = []
+                for i in range(ns):
+                    cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                    scan.append((cs, tt >> 4, tt & 0xF))
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                a = seg[3 + 2 * ns]
+                pos = _decode_prog_scan(
+                    data, pos + 2 + seglen, prog, scan, ss, se,
+                    a >> 4, a & 0xF, huff_dc, huff_ac, restart_interval,
+                )
+                continue
             scan_sel = {}
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
@@ -349,6 +369,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xD9:
             break
         pos += 2 + seglen
+    if progressive and prog is not None and prog["scans"] > 0:
+        # a trailing EOI has no length field, so the segment loop may
+        # exit before consuming it — accept it at `pos` directly; a
+        # stream that ends between scans WITHOUT an EOI is truncated
+        if data[pos : pos + 2] != b"\xff\xd9":
+            raise ValueError("truncated progressive stream (missing EOI)")
+        return _prog_reconstruct(prog, qt)
     raise ValueError("missing SOS")
 
 
@@ -402,6 +429,12 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac,
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu += 1
 
+    return _assemble(comps, planes, max_h, max_v, height, width)
+
+
+def _assemble(comps, planes, max_h, max_v, height, width) -> np.ndarray:
+    """Sample-resolution float planes -> cropped uint8 image (shared by
+    the baseline and progressive reconstruction paths)."""
     out_planes = []
     for c, pl in zip(comps, planes):
         ry, rx = max_v // c["v"], max_h // c["h"]
@@ -443,6 +476,242 @@ def _decode_block(br, dc, ac, preds, ci) -> np.ndarray:
         blk[k] = _extend(br.receive(s), s)
         k += 1
     return blk
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (SOF2: spectral selection + successive
+# approximation, T.81 Annex G). Scans accumulate quantized coefficients
+# into per-component block stores; IDCT happens once after the last
+# scan, so the result is bit-identical to a baseline decode of the same
+# final coefficients.
+
+
+def _prog_init(frame) -> dict:
+    height, width, comps = frame
+    if not comps or height == 0 or width == 0:
+        raise ValueError("empty frame")
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if max_h not in (1, 2) or max_v not in (1, 2):
+        raise NotImplementedError("sampling factors beyond 2x2")
+    mcus_x = -(-width // (8 * max_h))
+    mcus_y = -(-height // (8 * max_v))
+    coefs, dims = [], []
+    for c in comps:
+        # MCU-padded store (interleaved DC scans touch pad blocks);
+        # non-interleaved scans cover only the actual block grid.
+        coefs.append(
+            np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        )
+        comp_h = -(-height * c["v"] // max_v)
+        comp_w = -(-width * c["h"] // max_h)
+        dims.append((-(-comp_h // 8), -(-comp_w // 8)))
+    return {
+        "frame": frame,
+        "max_h": max_h,
+        "max_v": max_v,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "coefs": coefs,
+        "dims": dims,
+        "scans": 0,
+    }
+
+
+def _decode_prog_scan(data, pos, prog, scan, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval) -> int:
+    """Decode one progressive scan; return the byte offset of the next
+    marker (its 0xFF) so the segment loop can resume."""
+    height, width, comps = prog["frame"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    sel = []  # (component index, DC decoder, AC decoder)
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError(f"scan references unknown component {cs}")
+        ci = by_id[cs]
+        dc = ac = None
+        if ss == 0 and ah == 0:
+            dc = huff_dc.get(td)
+            if dc is None:
+                raise ValueError("missing DC Huffman table")
+        if ss > 0:
+            ac = huff_ac.get(ta)
+            if ac is None:
+                raise ValueError("missing AC Huffman table")
+        sel.append((ci, dc, ac))
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se = 0")
+    if ss > 0 and len(sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise ValueError("bad spectral band")
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(sel)
+    eobrun = 0
+    unit = 0  # restart unit: MCU (interleaved) or block (single-comp)
+
+    def _restart():
+        nonlocal preds, eobrun
+        m = br.sync_to_marker()
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"expected RST marker, got {m:#x}")
+        preds = [0] * len(sel)
+        eobrun = 0
+
+    if ss == 0 and len(sel) > 1:  # interleaved DC scan
+        for my in range(prog["mcus_y"]):
+            for mx in range(prog["mcus_x"]):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _restart()
+                for si, (ci, dc, _) in enumerate(sel):
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = prog["coefs"][ci][
+                                my * c["v"] + by, mx * c["h"] + bx
+                            ]
+                            if ah == 0:
+                                size = dc.decode(br)
+                                if size > 11:
+                                    raise ValueError("DC size out of range")
+                                preds[si] += _extend(br.receive(size), size)
+                                blk[0] = preds[si] << al
+                            elif br.read_bit():
+                                blk[0] |= 1 << al
+                unit += 1
+    else:  # single-component scan (DC or AC) over the actual block grid
+        ci, dc, ac = sel[0]
+        bya, bxa = prog["dims"][ci]
+        store = prog["coefs"][ci]
+        for by in range(bya):
+            for bx in range(bxa):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    _restart()
+                blk = store[by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        size = dc.decode(br)
+                        if size > 11:
+                            raise ValueError("DC size out of range")
+                        preds[0] += _extend(br.receive(size), size)
+                        blk[0] = preds[0] << al
+                    elif br.read_bit():
+                        blk[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _prog_ac_first(br, ac, blk, ss, se, al, eobrun)
+                else:
+                    eobrun = _prog_ac_refine(br, ac, blk, ss, se, al, eobrun)
+                unit += 1
+
+    prog["scans"] += 1
+    # locate the next marker for the segment loop
+    if br.marker is not None:
+        return br.pos - 2
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 1
+    return len(data)
+
+
+def _prog_ac_first(br, ac, blk, ss, se, al, eobrun) -> int:
+    """First AC pass for one block (T.81 G.1.2.2): run/size symbols with
+    EOBn run-length codes; values enter at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = ac.decode(br)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.receive(r)
+                return eobrun - 1  # the run includes this block
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(br, ac, blk, ss, se, al, eobrun) -> int:
+    """AC refinement pass for one block (T.81 G.1.2.3): one new bit of
+    precision — newly significant coefficients arrive as +/-(1 << Al),
+    already-significant ones receive a correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(kk):
+        if br.read_bit() and (int(blk[kk]) & p1) == 0:
+            blk[kk] += p1 if blk[kk] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = ac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement run past band end")
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_reconstruct(prog, qt) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient stores and
+    assemble the final image (vectorized over all blocks)."""
+    height, width, comps = prog["frame"]
+    planes = []
+    for ci, c in enumerate(comps):
+        dq = qt.get(c["tq"])
+        if dq is None:
+            raise ValueError("missing quant table")
+        zz = prog["coefs"][ci]
+        by, bx, _ = zz.shape
+        raster = np.zeros((by, bx, 64), dtype=np.float64)
+        raster[:, :, ZIGZAG] = zz
+        blocks = raster.reshape(by, bx, 8, 8) * dq.reshape(8, 8)
+        pix = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C) + 128.0
+        planes.append(
+            pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _assemble(
+        comps, planes, prog["max_h"], prog["max_v"], height, width
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -495,17 +764,12 @@ def _encode_value(v: int):
     return size, v
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """uint8 (H, W), (H, W, 1) or (H, W, 3) -> baseline JFIF bytes.
-
-    ``subsampling``: "444", "422", or "420" (3-component only).
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs (exercises the decoder's restart path)."""
+def _plan_frame(arr: np.ndarray, quality: int, subsampling: str) -> dict:
+    """Shared encoder front half: validate, color-transform, subsample,
+    pad to the MCU grid, DCT + quantize every block. Returns the frame
+    layout plus per-component zigzag coefficient stores — the single
+    source both the baseline and progressive entropy coders read, which
+    is what makes their decoded pixels bit-identical."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -540,11 +804,17 @@ def encode_jpeg(
     else:
         full = [f[:, :, 0]]
 
-    # per-component planes at their sampling resolution, padded to MCU grid
+    ql = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+    quants = [ql] + ([qc, qc] if nc == 3 else [])
+    qids = [0] + ([1, 1] if nc == 3 else [])
+
+    # per-component planes at their sampling resolution, padded to MCU
+    # grid, then DCT + quantize all blocks at once
     mcus_x = -(-w // (8 * max_h))
     mcus_y = -(-h // (8 * max_v))
-    planes = []
-    for (sh, sv), pf in zip(samp, full):
+    zzs, dims = [], []
+    for ci, ((sh, sv), pf) in enumerate(zip(samp, full)):
         ry, rx = max_v // sv, max_h // sh
         if ry > 1 or rx > 1:  # box-average downsample
             ph = -(-pf.shape[0] // ry) * ry
@@ -552,18 +822,45 @@ def encode_jpeg(
             pad = np.pad(pf, ((0, ph - pf.shape[0]), (0, pw - pf.shape[1])),
                          mode="edge")
             pf = pad.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        dims.append((-(-pf.shape[0] // 8), -(-pf.shape[1] // 8)))
         th_, tw_ = mcus_y * 8 * sv, mcus_x * 8 * sh
         pf = np.pad(
             pf,
             ((0, th_ - pf.shape[0]), (0, tw_ - pf.shape[1])),
             mode="edge",
-        )
-        planes.append(pf - 128.0)
+        ) - 128.0
+        by, bx = th_ // 8, tw_ // 8
+        blocks = pf.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
+        coef = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
+        dq = quants[qids[ci]].reshape(8, 8).astype(np.float64)
+        q = np.round(coef / dq).astype(np.int64)
+        zzs.append(q.reshape(by, bx, 64)[:, :, ZIGZAG])
+    return {
+        "h": h, "w": w, "nc": nc, "samp": samp,
+        "max_h": max_h, "max_v": max_v,
+        "mcus_x": mcus_x, "mcus_y": mcus_y,
+        "ql": ql, "qc": qc, "qids": qids,
+        "zzs": zzs, "dims": dims,
+    }
 
-    ql = _scaled_quant(QUANT_LUMA, quality)
-    qc = _scaled_quant(QUANT_CHROMA, quality)
-    quants = [ql] + ([qc, qc] if nc == 3 else [])
-    qids = [0] + ([1, 1] if nc == 3 else [])
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3) -> baseline JFIF bytes.
+
+    ``subsampling``: "444", "422", or "420" (3-component only).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path)."""
+    plan = _plan_frame(arr, quality, subsampling)
+    h, w, nc = plan["h"], plan["w"], plan["nc"]
+    samp, qids = plan["samp"], plan["qids"]
+    max_h, max_v = plan["max_h"], plan["max_v"]
+    mcus_x, mcus_y = plan["mcus_x"], plan["mcus_y"]
+    ql, qc, zzs = plan["ql"], plan["qc"], plan["zzs"]
 
     enc_dc = [
         {s: (ln, code) for ln, code, s in _canonical_codes(*t)}
@@ -587,17 +884,11 @@ def encode_jpeg(
                 rst += 1
                 preds = [0] * nc
             for ci, (sh, sv) in enumerate(samp):
-                dq = quants[qids[ci]].reshape(8, 8)
                 dct = enc_dc[tids[ci]]
                 act = enc_ac[tids[ci]]
                 for by in range(sv):
                     for bx in range(sh):
-                        y0 = (my * sv + by) * 8
-                        x0 = (mx * sh + bx) * 8
-                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
-                        coef = _C @ block @ _C.T
-                        q = np.round(coef / dq).astype(np.int64)
-                        zz = q.reshape(-1)[ZIGZAG]
+                        zz = zzs[ci][my * sv + by, mx * sh + bx]
                         # DC
                         diff = int(zz[0]) - preds[ci]
                         preds[ci] = int(zz[0])
@@ -657,6 +948,244 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (SOF2 fixture generator). Emits a libjpeg-style
+# scan script — DC first at reduced precision, per-component AC bands,
+# then successive-approximation refinement scans down to full precision
+# — so every decoder path (spectral selection, EOBn runs, ZRL, DC and
+# AC refinement) is exercised by round-trip tests. Each scan carries
+# its own flat Huffman table built from a dry-run symbol count: every
+# observed symbol gets an equal-length canonical code (valid, incomplete
+# tree; compression is irrelevant for fixtures, the DECODER reads
+# whatever DHT says).
+
+_MAX_EOBRUN = 0x7FFF
+
+
+def _flat_table(symbols) -> tuple[list[int], list[int]]:
+    syms = sorted(symbols)
+    n = max(1, len(syms))
+    length = n.bit_length()  # 2^length > n: incomplete tree, no all-1s code
+    bits = [0] * 16
+    bits[length - 1] = len(syms)
+    return bits, syms
+
+
+def _scan_script(nc: int) -> list[tuple[list[int], int, int, int, int]]:
+    """[(component indices, Ss, Se, Ah, Al)] — full precision reached
+    for every band by the end."""
+    if nc == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+class _ProgACState:
+    """Cross-block EOBRUN + buffered-correction-bit state for one AC
+    scan (T.81 G.1.2.2-3 encoder side)."""
+
+    def __init__(self, emit_sym, emit_bits):
+        self.emit_sym = emit_sym
+        self.emit_bits = emit_bits
+        self.eobrun = 0
+        self.pending = []  # correction bits owed after the next symbol
+
+    def flush_eob(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            self.emit_sym(r << 4)
+            if r:
+                self.emit_bits(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.emit_bits(b, 1)
+        self.pending = []
+
+    def end_block(self, extra_bits):
+        self.pending.extend(extra_bits)
+        self.eobrun += 1
+        if self.eobrun == _MAX_EOBRUN:
+            self.flush_eob()
+
+
+def _enc_ac_first(zz, ss, se, al, st: _ProgACState):
+    run = 0
+    emitted = False
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = (v if v >= 0 else -v) >> al
+        if mag == 0:
+            run += 1
+            continue
+        st.flush_eob()
+        emitted = True
+        while run > 15:
+            st.emit_sym(0xF0)
+            run -= 16
+        size = mag.bit_length()
+        bitsv = mag if v >= 0 else (-mag + (1 << size) - 1)
+        st.emit_sym(run << 4 | size)
+        st.emit_bits(bitsv, size)
+        run = 0
+    if run > 0 or not emitted:
+        st.end_block([])
+
+
+def _enc_ac_refine(zz, ss, se, al, st: _ProgACState):
+    absv = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+    eob = ss - 1  # index of the last newly-significant coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = ss + i
+    run = 0
+    cur_bits = []  # correction bits owed within this block
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            run += 1
+            continue
+        # flush ZRLs first (before buffering this position's bit) so the
+        # decoder's positional walk consumes correction bits in order;
+        # runs reaching past the last newly-significant coefficient fold
+        # into the EOB instead
+        while run > 15 and k <= eob:
+            st.flush_eob()
+            st.emit_sym(0xF0)
+            run -= 16
+            for b in cur_bits:
+                st.emit_bits(b, 1)
+            cur_bits = []
+        if t > 1:  # previously significant: buffer its correction bit
+            cur_bits.append((abs(int(zz[k])) >> al) & 1)
+            continue
+        st.flush_eob()
+        st.emit_sym(run << 4 | 1)
+        st.emit_bits(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in cur_bits:
+            st.emit_bits(b, 1)
+        cur_bits = []
+        run = 0
+    if run > 0 or cur_bits:
+        st.end_block(cur_bits)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """uint8 (H, W), (H, W, 1) or (H, W, 3) -> progressive (SOF2) JFIF
+    bytes. Same quantized coefficients as ``encode_jpeg`` — decoding
+    both yields bit-identical pixels."""
+    plan = _plan_frame(arr, quality, subsampling)
+    h, w, nc = plan["h"], plan["w"], plan["nc"]
+    samp, qids = plan["samp"], plan["qids"]
+    mcus_x, mcus_y = plan["mcus_x"], plan["mcus_y"]
+    ql, qc, zzs, dims = plan["ql"], plan["qc"], plan["zzs"], plan["dims"]
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(ql[z]) for z in ZIGZAG))
+    if nc == 3:
+        out += _seg(0xDB, bytes([0x01]) + bytes(int(qc[z]) for z in ZIGZAG))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, sh << 4 | sv, qids[i]])
+    out += _seg(0xC2, sof)
+
+    for comp_idx, ss, se, ah, al in _scan_script(nc):
+        # two passes over the identical emission sequence: dry (symbol
+        # census -> flat DHT), then real (entropy bytes)
+        def run_scan(emit_sym, emit_bits):
+            if ss == 0:
+                preds = [0] * len(comp_idx)
+                if len(comp_idx) > 1:  # interleaved DC over the MCU grid
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for si, ci in enumerate(comp_idx):
+                                sh, sv = samp[ci]
+                                for by in range(sv):
+                                    for bx in range(sh):
+                                        zz = zzs[ci][my * sv + by,
+                                                     mx * sh + bx]
+                                        _enc_dc(zz, si, preds, ah, al,
+                                                emit_sym, emit_bits)
+                else:
+                    ci = comp_idx[0]
+                    bya, bxa = dims[ci]
+                    for by in range(bya):
+                        for bx in range(bxa):
+                            _enc_dc(zzs[ci][by, bx], 0, preds, ah, al,
+                                    emit_sym, emit_bits)
+            else:
+                ci = comp_idx[0]
+                bya, bxa = dims[ci]
+                st = _ProgACState(emit_sym, emit_bits)
+                enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+                for by in range(bya):
+                    for bx in range(bxa):
+                        enc(zzs[ci][by, bx], ss, se, al, st)
+                st.flush_eob()
+
+        census: set[int] = set()
+        run_scan(lambda s: census.add(s), lambda v, n: None)
+        enc_table = None
+        if census:
+            bits, syms = _flat_table(census)
+            tc = 0 if ss == 0 else 1
+            out += _seg(0xC4, _dht_payload(tc, 0, (bits, syms)))
+            enc_table = {
+                s: (ln, code) for ln, code, s in _canonical_codes(bits, syms)
+            }
+        bw = _BitWriter()
+
+        def emit_sym(s):
+            ln, code = enc_table[s]
+            bw.write(code, ln)
+
+        run_scan(emit_sym, bw.write)
+        bw.flush()
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, 0x00])  # Td = Ta = 0 (fresh DHT per scan)
+        sos += bytes([ss, se, ah << 4 | al])
+        out += _seg(0xDA, sos)
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _enc_dc(zz, si, preds, ah, al, emit_sym, emit_bits):
+    if ah == 0:
+        v = int(zz[0]) >> al  # arithmetic shift: matches decoder's << Al
+        diff = v - preds[si]
+        preds[si] = v
+        size, bitsv = _encode_value(diff)
+        emit_sym(size)
+        if size:
+            emit_bits(bitsv, size)
+    else:
+        emit_bits((int(zz[0]) >> al) & 1, 1)
 
 
 JPEG_SOI = b"\xff\xd8"

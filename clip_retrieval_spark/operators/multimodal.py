@@ -7,13 +7,14 @@ Arrow-batched ``mapInPandas`` with the decoder constructed once per
 Python worker (the mapper init-once pattern, mapper.py:16-48).
 
 Codec status: PNG decode/resize/re-encode is REAL (pure-stdlib zlib +
-filter codec, functions/png.py), and baseline-JFIF JPEG decode/encode
-is REAL too (pure-stdlib Huffman + DCT codec, functions/jpeg.py:
-sequential SOF0, 1/3 components, 4:4:4/4:2:2/4:2:0, restart markers) —
+filter codec, functions/png.py), and JPEG decode/encode is REAL too
+(pure-stdlib Huffman + DCT codec, functions/jpeg.py: baseline SOF0
+AND progressive SOF2 with spectral selection + successive
+approximation, 1/3 components, 4:4:4/4:2:2/4:2:0, restart markers) —
 both formats yield actual pixels, grid-luminance features, and real
-resized thumbnails. Progressive JPEG / audio / video kernels remain
-deterministic STUBS (clearly marked; progressive raises
-NotImplementedError in the codec and falls through to the stub here);
+resized thumbnails. Audio / video kernels remain deterministic STUBS
+(clearly marked; exotic JPEG variants — arithmetic, 12-bit — raise
+NotImplementedError in the codec and fall through to the stub here);
 the Spark-side plumbing — schema, batch shape, UDF signatures,
 partitioning — is real and tested for all kinds. Swap the stub bodies
 for PIL/ffmpeg calls on a real cluster; nothing else changes.
@@ -47,12 +48,13 @@ _FEATURE_DIM = 16  # 16 x 4 bytes == blake2b's max digest size
 def _decode_image(payload: bytes) -> np.ndarray:
     """Image -> 16-dim feature vector.
 
-    PNG and baseline-JFIF JPEG payloads are REALLY decoded
+    PNG and JPEG (baseline + progressive) payloads are REALLY decoded
     (functions/png.py: zlib + filter unprediction, CRC-verified;
-    functions/jpeg.py: canonical Huffman + 8x8 IDCT) and featurized as
-    4x4 grid luminance means — content-derived values, not hashes.
-    Other formats (and JPEG variants the codec declares unsupported,
-    e.g. progressive) fall back to the deterministic STUB (blake2b
+    functions/jpeg.py: canonical Huffman + 8x8 IDCT, multi-scan
+    coefficient accumulation for SOF2) and featurized as 4x4 grid
+    luminance means — content-derived values, not hashes. Other
+    formats (and JPEG variants the codec declares unsupported, e.g.
+    arithmetic-coded) fall back to the deterministic STUB (blake2b
     pseudo-pixels; real impl: PIL.Image.open). Raises on empty/corrupt
     payload the way a real decoder raises on corrupt bytes (exercises
     the error path)."""
@@ -66,8 +68,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
                 jpeg.decode_jpeg(payload), grid=4
             )
         except NotImplementedError:
-            pass  # progressive/12-bit etc. -> deterministic stub below
-    # STUB for remaining formats (audio/video/progressive-JPEG)
+            pass  # arithmetic/12-bit etc. -> deterministic stub below
+    # STUB for remaining formats (audio/video/exotic-JPEG)
     h = hashlib.blake2b(payload, digest_size=_FEATURE_DIM * 4).digest()
     arr = np.frombuffer(h, dtype=np.uint32).astype(np.float64)
     return arr / 2**32
@@ -129,7 +131,7 @@ def resize_thumbnails(media: DataFrame, size: int = 64) -> DataFrame:
                 arr = jpeg.decode_jpeg(b)
                 return jpeg.encode_jpeg(png.resize_nearest(arr, size, size))
             except Exception:
-                pass  # corrupt/progressive JPEG -> digest fallback
+                pass  # corrupt/unsupported-variant JPEG -> digest fallback
         return hashlib.blake2b(b, digest_size=min(size, 64)).digest()
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

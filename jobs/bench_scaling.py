@@ -83,6 +83,14 @@ def run_once(cores: int, snapshot: str, runs: int) -> dict:
         "pages_per_sec": round(med_out["n_pages"] / med, 1),
         "triples": med_out["counts"]["triples"],
         "triples_per_sec": round(med_out["counts"]["triples"] / med, 1),
+        # Work-per-cycle: triples per CPU-second actually burned (whole
+        # process tree). Unlike the wall ratio, this cannot be moved by
+        # one side idling — a serial-side speedup that raises work/cycle
+        # equally on both sides leaves this ratio at 1.0 even when the
+        # wall-ratio efficiency dips.
+        "triples_per_cpu_sec": round(
+            med_out["counts"]["triples"] / med_out["cpu_sec"], 1
+        ),
     }
 
 
@@ -139,6 +147,13 @@ def main() -> None:
         # genuine regression on the declared estimator.
         "efficiency": round(eff, 3),
         "efficiency_min_wall": round(eff_min, 3),
+        # work-per-CPU-cycle ratio (high/low): ~1.0 means the engine
+        # does identical work per cycle at both widths — any wall-ratio
+        # shortfall is then utilization (I/O overlap a serial run gets
+        # for free), not a parallel-efficiency defect in the plan.
+        "work_per_cycle_ratio": round(
+            hi["triples_per_cpu_sec"] / lo["triples_per_cpu_sec"], 3
+        ),
         "target": 0.8,
         "primary_estimator": "efficiency_min_wall",
         "pass": eff_min >= 0.8,
@@ -197,6 +212,17 @@ per-run steal nearly linearly on identical code). Interference is
 additive, so each side's minimum wall is the least-contaminated
 estimate of the uncontended machine; the median is reported alongside
 for the standard protocol. On real hardware the two converge.
+
+**Work per CPU-cycle (serial-speedup guard)**: triples per CPU-second
+burned (whole process tree) = {lo['triples_per_cpu_sec']} at
+local[{args.low}] vs {hi['triples_per_cpu_sec']} at local[{args.high}]
+— ratio {hi['triples_per_cpu_sec'] / lo['triples_per_cpu_sec']:.3f}.
+A ratio near 1.0 means both widths do the same work per cycle; the
+wall-ratio efficiency then differs from 1.0 only through utilization
+(e.g. a 1-core run overlapping write I/O with compute "for free"),
+not through shuffle/coordination cost growing with parallelism. This
+is the guard against a serial-baseline speedup reading as a scaling
+regression.
 
 Raw walls: low={lo['all_walls']}, high={hi['all_walls']}.
 Hypervisor steal per run (CPU-sec withheld from the VM; large values

@@ -14,6 +14,7 @@ import pytest
 from clip_retrieval_spark.functions.jpeg import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     is_jpeg,
 )
 
@@ -88,13 +89,95 @@ def test_corrupt_inputs_raise_valueerror():
         decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no frame
 
 
-def test_progressive_raises_notimplemented():
-    # take a valid baseline stream and flip SOF0 (0xFFC0) to SOF2
+@pytest.mark.parametrize("subsampling", ["444", "422", "420"])
+def test_progressive_matches_baseline_bit_exact(subsampling):
+    """Progressive (SOF2) and baseline (SOF0) encode the SAME quantized
+    coefficients, so decoding both must give bit-identical pixels —
+    any defect in spectral selection, successive approximation, EOBn
+    runs, or refinement bits breaks this equality."""
+    img = _gradient()
+    base = decode_jpeg(encode_jpeg(img, quality=90, subsampling=subsampling))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=90, subsampling=subsampling)
+    )
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_gray_and_odd_dims_bit_exact():
+    g = _gradient()[:, :, 1]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=95)),
+        decode_jpeg(encode_jpeg_progressive(g, quality=95)),
+    )
+    # 13x7 @ 4:2:0: MCU padding + the non-interleaved actual-block-grid
+    # iteration differ from the interleaved DC grid — crop must agree
+    odd = _gradient(h=13, w=7)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(odd, quality=95, subsampling="420")),
+        decode_jpeg(encode_jpeg_progressive(odd, quality=95,
+                                            subsampling="420")),
+    )
+
+
+def test_progressive_noise_exercises_refinement_bits():
+    # dense spectra force correction bits in every AC refinement scan
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(noise, quality=75, subsampling="420")),
+        decode_jpeg(encode_jpeg_progressive(noise, quality=75,
+                                            subsampling="420")),
+    )
+
+
+def test_progressive_flat_image_exercises_eobn_runs():
+    # all-AC-zero blocks accumulate EOB runs > 1, so the stream carries
+    # EOBn (r > 0) symbols — verify one is really present, then decode
+    const = np.full((48, 64, 3), 130, dtype=np.uint8)
+    enc = encode_jpeg_progressive(const, quality=90)
+    assert b"\xff\xc2" in enc  # really SOF2
+    pos, eobn = 2, False
+    while pos + 4 <= len(enc):
+        if enc[pos] != 0xFF or enc[pos + 1] in (0x01, 0xD8):
+            pos += 2 if enc[pos] == 0xFF else 1
+            continue
+        m = enc[pos + 1]
+        if m == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", enc[pos + 2 : pos + 4])
+        seg = enc[pos + 4 : pos + 2 + ln]
+        if m == 0xC4 and seg[0] >> 4 == 1:  # AC-class DHT
+            n = sum(seg[1:17])
+            eobn = eobn or any(
+                s & 0xF == 0 and 0 < s >> 4 < 15
+                for s in seg[17 : 17 + n]
+            )
+        pos += 2 + ln
+        if m == 0xDA:  # skip entropy data to the next marker
+            while pos + 1 < len(enc) and not (
+                enc[pos] == 0xFF and enc[pos + 1] != 0x00
+            ):
+                pos += 1
+    assert eobn
+    assert np.array_equal(
+        decode_jpeg(enc), decode_jpeg(encode_jpeg(const, quality=90))
+    )
+
+
+def test_baseline_scan_header_in_progressive_frame_rejected():
+    # flip SOF0 -> SOF2 on a baseline stream: the SOS then claims a
+    # full-band DC scan (Ss=0, Se=63), illegal in progressive mode
     good = bytearray(encode_jpeg(_gradient()))
     i = bytes(good).index(b"\xff\xc0")
     good[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(good))
+
+
+def test_progressive_truncated_raises_valueerror():
+    enc = encode_jpeg_progressive(_gradient(h=16, w=16), quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) * 2 // 3])
 
 
 def test_is_jpeg():
@@ -116,9 +199,11 @@ def test_spark_jpeg_features_and_thumbnails(spark):
 
     img = _gradient(h=40, w=40)
     payload = encode_jpeg(img, quality=95)
+    prog_payload = encode_jpeg_progressive(img, quality=95)
     rows = [
         (1, "image", bytearray(payload), 40, 40, None),
         (2, "image", bytearray(b"\xff\xd8 corrupt jpeg"), 8, 8, None),
+        (3, "image", bytearray(prog_payload), 40, 40, None),
     ]
     media = spark.createDataFrame(
         rows,
@@ -134,6 +219,11 @@ def test_spark_jpeg_features_and_thumbnails(spark):
     assert np.abs(got - want).max() < 0.02
     # a corrupt JPEG is a corrupt row (real decoders raise), not a stub
     assert feats[2]["ok"] is False
+    # a PROGRESSIVE payload decodes for real too — same content-derived
+    # features as the baseline encoding of the same pixels
+    got3 = np.array(feats[3]["feature"], dtype=np.float64)
+    assert feats[3]["ok"] is True
+    assert np.abs(got3 - want).max() < 0.02
 
     thumbs = {
         r["media_id"]: r for r in resize_thumbnails(media, 16).collect()
@@ -179,15 +269,18 @@ def test_fuzz_decoder_never_hangs_or_leaks_exceptions():
     from hypothesis import strategies as st
 
     base = encode_jpeg(_gradient(h=16, w=16), quality=90)
+    prog = encode_jpeg_progressive(_gradient(h=16, w=16), quality=90)
 
     @settings(max_examples=150, deadline=None)
     @given(
-        pos=st.integers(0, len(base) - 1),
+        pick=st.booleans(),
+        pos=st.integers(0, max(len(base), len(prog)) - 1),
         val=st.integers(0, 255),
-        cut=st.integers(0, len(base)),
+        cut=st.integers(0, max(len(base), len(prog))),
     )
-    def _one(pos, val, cut):
-        mutated = bytearray(base[:cut] or b"\x00")
+    def _one(pick, pos, val, cut):
+        src = base if pick else prog
+        mutated = bytearray(src[:cut] or b"\x00")
         if pos < len(mutated):
             mutated[pos] = val
         try:

@@ -3319,6 +3319,87 @@ WHERE rnk <= 5 ORDER BY source, rnk
 """
 
 
+_CMS_DEPTH, _CMS_WIDTH = 4, 256
+
+
+def topk_tokens_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate heavy hitters via a count-min sketch
+    (operators/sketch.py) — the documented 10^12-token swap-in for
+    ``topk_tokens_by_source``: sketch state is a fixed 4x256 grid of
+    counters (algebraic, map-side combinable, merges cell-wise across
+    executors) instead of a shuffle keyed by every distinct token.
+    Buckets are md5-hex prefixes seeded by the row index, so DuckDB
+    replays the exact sketch state and the gate checks the SKETCH, not
+    just the ranking. Output: top-20 tokens by estimated count with
+    the exact count alongside (CM never under-counts: est >= exact,
+    asserted by tests/test_sketch.py with the 2N/width error bound)."""
+    from clip_retrieval_spark.operators.sketch import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    counts = (
+        _t(spark, sf, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sketch = count_min_sketch(
+        counts, "tok", "cnt", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    est = count_min_estimate(
+        sketch, counts, "tok", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    w = Window.orderBy(F.desc("est_cnt"), F.asc("tok"))
+    return (
+        est.join(counts, "tok")
+        .select(
+            "tok",
+            F.col("est").cast("long").alias("est_cnt"),
+            F.col("cnt").alias("exact_cnt"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .orderBy("rnk")
+    )
+
+
+TOPK_TOKENS_SKETCH_SQL = f"""
+WITH counts AS (
+  SELECT tok, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+),
+expanded AS (
+  SELECT c.tok, c.cnt, r.r,
+         list_reduce(
+           list_transform(range(1, 3),
+             i -> strpos('0123456789abcdef',
+                         substr(md5(c.tok || ':' || r.r), i, 1)) - 1),
+           (a, x) -> a * 16 + x) AS bucket
+  FROM counts c
+  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) r
+),
+cms AS (
+  SELECT r, bucket, SUM(cnt)::BIGINT AS total
+  FROM expanded GROUP BY r, bucket
+),
+est AS (
+  SELECT e.tok, MIN(s.total)::BIGINT AS est_cnt
+  FROM expanded e JOIN cms s ON e.r = s.r AND e.bucket = s.bucket
+  GROUP BY e.tok
+),
+ranked AS (
+  SELECT c.tok, est_cnt, c.cnt AS exact_cnt,
+         ROW_NUMBER() OVER (ORDER BY est_cnt DESC, c.tok ASC) AS rnk
+  FROM est JOIN counts c USING (tok)
+)
+SELECT tok, est_cnt, exact_cnt, rnk FROM ranked
+WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3391,6 +3472,8 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "bm25_topterms": (bm25_topterms, BM25_SQL),
     "doc_triangle_counts": (doc_triangle_counts, TRIANGLE_SQL),
     "quality_repetition": (quality_repetition, QUALITY_REPETITION_SQL),
+    # new in r5 (reserved slot 50): replayable count-min heavy hitters
+    "topk_tokens_sketch": (topk_tokens_sketch, TOPK_TOKENS_SKETCH_SQL),
     # --- long-stable gates rotated behind the driver's 50-query window
     # (driver-green r1-r4; still oracle-checked at sf0.01 AND sf0.001 by
     # tests/test_entry.py) ---

@@ -97,6 +97,7 @@ def test_every_query_is_oracled():
         "events_pivot_types",
         "events_moving_avg",
         "topk_tokens_by_source",
+        "topk_tokens_sketch",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

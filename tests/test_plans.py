@@ -277,3 +277,12 @@ def test_pivot_explicit_values_single_aggregate(spark):
     tree = p.split("\n\n", 1)[0]
     assert tree.count("Scan parquet") == 1, tree
     assert "Union" not in p
+
+
+def test_count_min_estimate_broadcasts_sketch(spark):
+    """The CM sketch point-query path must broadcast the finished
+    depth x width grid (a few KB) — candidate keys never shuffle
+    toward the sketch, and no sort-merge join appears."""
+    p = _plan(spark, "topk_tokens_sketch")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

@@ -1395,6 +1395,34 @@ ORDER BY url, role, surface
 """
 
 
+def _kg_stage_tables(spark: SparkSession, sf: str):
+    """(triples, mentions, entities), each eagerly materialized with
+    localCheckpoint — shared by the stage-3/4 gates below.
+
+    Why: these DataFrames each feed SEVERAL join branches (entity side,
+    surface side, final mention join), and Catalyst does not
+    common-subexpression the extract -> triples -> embed subtree across
+    branches — without the checkpoints the kg_links physical plan
+    contained 12 parquet scans and 29 MapInPandas nodes, re-running the
+    whole Arrow extract pipeline per branch. On a real cluster these
+    are exactly the stage boundaries jobs/run_pipeline.py persists to
+    parquet between stages; the eager checkpoint is the gate-local
+    stand-in (same pattern as the LPA/k-core edge-set checkpoint,
+    operators/graph.py)."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.embed import entities_df, mentions_df
+
+    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    # one materialization job: mentions carry everything downstream
+    # branches need, and the branches past m (distinct surfaces, the
+    # 40-entity embed, top-k) are cheap — checkpointing tr/e separately
+    # just serializes extra jobs for no saved work
+    m = mentions_df(tr).localCheckpoint(eager=True)
+    e = entities_df(m)
+    return tr, m, e
+
+
 def kg_links(spark: SparkSession, sf: str) -> DataFrame:
     """Stage 3c, FULLY oracle-checked (closes round-2's last no_oracle
     row): per-mention top-3 entity links via the LSH-blocked broadcast
@@ -1410,14 +1438,9 @@ def kg_links(spark: SparkSession, sf: str) -> DataFrame:
     test_reader.py:58-61). Tie-breaks are deterministic: (score DESC,
     linked_surface ASC). The raw hash-id variant (link_topk) is the
     same operator one projection earlier; id stability is unit-tested."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
-    from clip_retrieval_spark.operators.embed import entities_df, mentions_df
     from clip_retrieval_spark.operators.link import surface_link_topk
 
-    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
-    m = mentions_df(tr)
-    e = entities_df(m)
+    _, m, e = _kg_stage_tables(spark, sf)
     sl = surface_link_topk(m, e, k=3)
     linked = e.select("entity_id", F.col("surface").alias("linked_surface"))
     return (
@@ -1509,14 +1532,9 @@ def kg_links_rank1(spark: SparkSession, sf: str) -> DataFrame:
     A blocking or scoring regression breaks this immediately. The full
     top-k link table (hash ids, model scores) stays rows-only as
     ``kg_links``."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
-    from clip_retrieval_spark.operators.embed import entities_df, mentions_df
     from clip_retrieval_spark.operators.link import surface_link_topk
 
-    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
-    m = mentions_df(tr)
-    e = entities_df(m)
+    _, m, e = _kg_stage_tables(spark, sf)
     sl = surface_link_topk(m, e, k=1)
     linked = e.select(
         "entity_id", F.col("surface").alias("linked_surface")
@@ -1558,9 +1576,6 @@ def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
     True alias merging (threshold 0.85 on the fixtures corpus, which
     contains real alias variants) is exercised in
     tests/test_linking.py / tests/test_cc.py."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
-    from clip_retrieval_spark.operators.embed import entities_df, mentions_df
     from clip_retrieval_spark.operators.link import surface_link_topk
     from clip_retrieval_spark.operators.materialize import (
         canonical_map,
@@ -1568,9 +1583,7 @@ def kg_nodes_edges(spark: SparkSession, sf: str) -> DataFrame:
         materialize_edges,
     )
 
-    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
-    m = mentions_df(tr)
-    e = entities_df(m)
+    tr, m, e = _kg_stage_tables(spark, sf)
     surface_links = surface_link_topk(m, e, k=1)
     nodes = canonical_map(e, entity_merge_edges(e, threshold=0.95))
     edges = materialize_edges(tr, surface_links, nodes)

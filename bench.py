@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     # times, so benching it would double-count one plan
     "semantic_dedup_keep",
     "lm_perplexity",
+    # r5: the count-min swap-in; benched INSTEAD of the exact
+    # topk_tokens_by_source (same upstream tokenization, and the sketch
+    # path is the one that matters at scale)
+    "topk_tokens_sketch",
 ]
 
 

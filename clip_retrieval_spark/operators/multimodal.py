@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clip_retrieval_spark.functions import jpeg, png
+from clip_retrieval_spark.functions import jpeg, png, wav
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, meta_width int, "
@@ -52,9 +52,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
     (functions/png.py: zlib + filter unprediction, CRC-verified;
     functions/jpeg.py: canonical Huffman + 8x8 IDCT, multi-scan
     coefficient accumulation for SOF2) and featurized as 4x4 grid
-    luminance means — content-derived values, not hashes. Other
-    formats (and JPEG variants the codec declares unsupported, e.g.
-    arithmetic-coded) fall back to the deterministic STUB (blake2b
+    luminance means; WAV audio payloads are REALLY decoded too
+    (functions/wav.py: RIFF/PCM/IEEE-float/G.711) and featurized as
+    RMS envelope + zero-crossing + spectral bands — content-derived
+    values, not hashes. Other formats (and codec variants declared
+    unsupported, e.g. arithmetic-coded JPEG, ADPCM WAV) fall back to
+    the deterministic STUB (blake2b
     pseudo-pixels; real impl: PIL.Image.open). Raises on empty/corrupt
     payload the way a real decoder raises on corrupt bytes (exercises
     the error path)."""
@@ -69,7 +72,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
             )
         except NotImplementedError:
             pass  # arithmetic/12-bit etc. -> deterministic stub below
-    # STUB for remaining formats (audio/video/exotic-JPEG)
+    if wav.is_wav(payload):
+        try:
+            return wav.waveform_features(*wav.decode_wav(payload))
+        except NotImplementedError:
+            pass  # ADPCM/extensible etc. -> deterministic stub below
+    # STUB for remaining formats (video/exotic-JPEG/compressed-audio)
     h = hashlib.blake2b(payload, digest_size=_FEATURE_DIM * 4).digest()
     arr = np.frombuffer(h, dtype=np.uint32).astype(np.float64)
     return arr / 2**32

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clip_retrieval_spark.functions import jpeg, png, wav
+from clip_retrieval_spark.functions import avi, jpeg, png, wav
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, meta_width int, "
@@ -77,7 +77,17 @@ def _decode_image(payload: bytes) -> np.ndarray:
             return wav.waveform_features(*wav.decode_wav(payload))
         except NotImplementedError:
             pass  # ADPCM/extensible etc. -> deterministic stub below
-    # STUB for remaining formats (video/exotic-JPEG/compressed-audio)
+    if avi.is_avi(payload):
+        try:
+            first = avi.decode_avi(payload)["frames"][0]
+            return png.grid_luminance_features(
+                jpeg.decode_jpeg(first), grid=4
+            )
+        except NotImplementedError:
+            pass  # non-MJPG codecs -> deterministic stub below
+        except IndexError:
+            raise ValueError("AVI with zero frames")
+    # STUB for remaining formats (exotic-JPEG/compressed-audio/non-MJPG)
     h = hashlib.blake2b(payload, digest_size=_FEATURE_DIM * 4).digest()
     arr = np.frombuffer(h, dtype=np.uint32).astype(np.float64)
     return arr / 2**32
@@ -140,6 +150,12 @@ def resize_thumbnails(media: DataFrame, size: int = 64) -> DataFrame:
                 return jpeg.encode_jpeg(png.resize_nearest(arr, size, size))
             except Exception:
                 pass  # corrupt/unsupported-variant JPEG -> digest fallback
+        elif avi.is_avi(b):
+            try:  # video thumbnail = resized first (key)frame as JPEG
+                arr = jpeg.decode_jpeg(avi.decode_avi(b)["frames"][0])
+                return jpeg.encode_jpeg(png.resize_nearest(arr, size, size))
+            except Exception:
+                pass  # corrupt/non-MJPG AVI -> digest fallback
         return hashlib.blake2b(b, digest_size=min(size, 64)).digest()
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,10 +176,16 @@ def resize_thumbnails(media: DataFrame, size: int = 64) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB frame sampling for video rows: emits one deterministic
-    'frame' per every_ms of meta_duration_ms (flatMap shape: 1 row in,
-    N rows out — the UDTF/explode pattern). Real impl: ffmpeg keyframe
-    extraction."""
+    """Frame sampling for video rows (flatMap shape: 1 row in, N rows
+    out — the UDTF/explode pattern).
+
+    MJPEG-in-AVI payloads are REALLY sampled (functions/avi.py): one
+    JPEG frame per every_ms of CONTAINER time (n_frames/fps — the
+    container is the truth, not the metadata column), each emitted
+    frame being the actual encoded bytes of the nearest source frame.
+    Other containers/codecs fall back to the deterministic digest STUB
+    driven by meta_duration_ms (real impl: ffmpeg keyframe
+    extraction)."""
 
     def _go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,14 +193,29 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta_duration_ms"]
             ):
+                b = bytes(payload) if payload else b""
+                if avi.is_avi(b):
+                    try:
+                        vid = avi.decode_avi(b)
+                        frames, fps = vid["frames"], vid["fps"]
+                        dur_ms = len(frames) / fps * 1000.0
+                        n = max(int(dur_ms // every_ms), 1)
+                        for i in range(n):
+                            src = min(
+                                int(round(i * every_ms / 1000.0 * fps)),
+                                len(frames) - 1,
+                            )
+                            rows.append((mid, i, frames[src]))
+                        continue
+                    except (NotImplementedError, ValueError):
+                        pass  # non-MJPG / corrupt -> digest stub below
                 n = max(int((dur or 0) // every_ms), 0)
                 for i in range(n):
                     rows.append(
                         (
                             mid, i,
                             hashlib.blake2b(
-                                (bytes(payload) if payload else b"")
-                                + i.to_bytes(4, "little"),
+                                b + i.to_bytes(4, "little"),
                                 digest_size=16,
                             ).digest(),
                         )

@@ -1089,11 +1089,18 @@ def _enc_ac_refine(zz, ss, se, al, st: _ProgACState):
 
 
 def encode_jpeg_progressive(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "444"
+    arr: np.ndarray, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (H, W), (H, W, 1) or (H, W, 3) -> progressive (SOF2) JFIF
     bytes. Same quantized coefficients as ``encode_jpeg`` — decoding
-    both yields bit-identical pixels."""
+    both yields bit-identical pixels.
+
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    restart units per scan (MCUs for the interleaved DC scan, blocks
+    for single-component scans), flushing the EOB run and resetting DC
+    predictors at each — exercises the progressive decoder's restart
+    path."""
     plan = _plan_frame(arr, quality, subsampling)
     h, w, nc = plan["h"], plan["w"], plan["nc"]
     samp, qids = plan["samp"], plan["qids"]
@@ -1112,15 +1119,36 @@ def encode_jpeg_progressive(
         sof += bytes([i + 1, sh << 4 | sv, qids[i]])
     out += _seg(0xC2, sof)
 
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
     for comp_idx, ss, se, ah, al in _scan_script(nc):
         # two passes over the identical emission sequence: dry (symbol
-        # census -> flat DHT), then real (entropy bytes)
-        def run_scan(emit_sym, emit_bits):
+        # census -> flat DHT), then real (entropy bytes). mark_restart
+        # is a no-op in the dry pass; both passes share the state
+        # resets so the symbol sequences stay identical.
+        def run_scan(emit_sym, emit_bits, mark_restart):
+            unit = 0
+            preds = [0] * len(comp_idx)
+            st = _ProgACState(emit_sym, emit_bits)
+
+            def boundary():
+                nonlocal unit
+                if (
+                    restart_interval
+                    and unit
+                    and unit % restart_interval == 0
+                ):
+                    st.flush_eob()  # EOB runs must not cross a restart
+                    mark_restart()
+                    preds[:] = [0] * len(comp_idx)
+                unit += 1
+
             if ss == 0:
-                preds = [0] * len(comp_idx)
                 if len(comp_idx) > 1:  # interleaved DC over the MCU grid
                     for my in range(mcus_y):
                         for mx in range(mcus_x):
+                            boundary()
                             for si, ci in enumerate(comp_idx):
                                 sh, sv = samp[ci]
                                 for by in range(sv):
@@ -1134,20 +1162,21 @@ def encode_jpeg_progressive(
                     bya, bxa = dims[ci]
                     for by in range(bya):
                         for bx in range(bxa):
+                            boundary()
                             _enc_dc(zzs[ci][by, bx], 0, preds, ah, al,
                                     emit_sym, emit_bits)
             else:
                 ci = comp_idx[0]
                 bya, bxa = dims[ci]
-                st = _ProgACState(emit_sym, emit_bits)
                 enc = _enc_ac_first if ah == 0 else _enc_ac_refine
                 for by in range(bya):
                     for bx in range(bxa):
+                        boundary()
                         enc(zzs[ci][by, bx], ss, se, al, st)
                 st.flush_eob()
 
         census: set[int] = set()
-        run_scan(lambda s: census.add(s), lambda v, n: None)
+        run_scan(lambda s: census.add(s), lambda v, n: None, lambda: None)
         enc_table = None
         if census:
             bits, syms = _flat_table(census)
@@ -1157,12 +1186,19 @@ def encode_jpeg_progressive(
                 s: (ln, code) for ln, code, s in _canonical_codes(bits, syms)
             }
         bw = _BitWriter()
+        rst_n = 0
 
         def emit_sym(s):
             ln, code = enc_table[s]
             bw.write(code, ln)
 
-        run_scan(emit_sym, bw.write)
+        def mark_restart():
+            nonlocal rst_n
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+            rst_n += 1
+
+        run_scan(emit_sym, bw.write, mark_restart)
         bw.flush()
         sos = bytes([len(comp_idx)])
         for ci in comp_idx:

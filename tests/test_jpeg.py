@@ -164,6 +164,22 @@ def test_progressive_flat_image_exercises_eobn_runs():
     )
 
 
+def test_progressive_restart_markers_bit_exact():
+    """RSTn inside progressive scans: EOB runs must flush at each
+    restart and DC predictors reset — the decoder's per-scan restart
+    path must land on the same coefficients as the unrestarted stream."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (29, 37, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsampling="420"))
+    for ri in (1, 3):
+        enc = encode_jpeg_progressive(
+            img, quality=85, subsampling="420", restart_interval=ri
+        )
+        assert b"\xff\xdd" in enc  # DRI really emitted
+        assert any(bytes([0xFF, 0xD0 + i]) in enc for i in range(8))
+        assert np.array_equal(base, decode_jpeg(enc))
+
+
 def test_baseline_scan_header_in_progressive_frame_rejected():
     # flip SOF0 -> SOF2 on a baseline stream: the SOS then claims a
     # full-band DC scan (Ss=0, Se=63), illegal in progressive mode

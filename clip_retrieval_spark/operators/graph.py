@@ -244,3 +244,51 @@ def kcore_prune(
     return und.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source breadth-first distances in a FIXED number of
+    rounds: returns (node, dist) where dist is the minimum hop count
+    from any seed over the symmetrized edge set (dist <= rounds;
+    unreached nodes are absent). ``seeds`` is a one-column DataFrame
+    named ``node``.
+
+    Scale shape: FRONTIER-ONLY expansion — round t joins only the
+    nodes FIRST reached at t-1 (``dist == t-1`` after the min-fold)
+    against the adjacency, never the whole distance table, then folds
+    new reaches into the running table with an algebraic min-agg
+    (map-side combine absorbs hub fan-in). This is the Pregel BFS
+    message set: per round one keyed shuffle-join whose left side
+    shrinks to the frontier plus one partial-aggregated min — the same
+    round shape as label_propagation_min but strictly cheaper, because
+    a settled node never re-enters the join. Expanding settled nodes
+    would only generate dominated distances (min() discards them),
+    which is exactly why the driver's unrolled SQL oracle — which
+    expands the full reached set each round for brevity — computes the
+    identical fixpoint. Edge blocks are pinned once with an eager
+    localCheckpoint (label_propagation_min's rationale); per-round
+    lazy checkpoints truncate lineage.
+    """
+    und = undirect(edges, src, dst).localCheckpoint(eager=True)
+    dist = (
+        seeds.select("node").distinct().withColumn("dist", F.lit(0))
+    )
+    frontier = dist
+    for r in range(1, rounds + 1):
+        reached = und.join(
+            frontier, und["src"] == frontier["node"]
+        ).select(F.col("dst").alias("node"), F.lit(r).alias("dist"))
+        dist = (
+            dist.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        frontier = dist.filter(F.col("dist") == r)
+    return dist

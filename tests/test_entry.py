@@ -98,6 +98,11 @@ def test_every_query_is_oracled():
         "events_moving_avg",
         "topk_tokens_by_source",
         "topk_tokens_sketch",
+        "kg_ntriples_export",
+        "kg_twohop_paths",
+        "doc_bfs_distances",
+        "hll_distinct_sketch",
+        "blocking_key_stats",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -1037,3 +1037,87 @@ def test_semantic_dedup_salted_hot_cell_bound(spark):
     assert {(r["vec_id"], r["keep"]) for r in got16} == {
         (r["vec_id"], r["keep"]) for r in got
     }
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Frontier-only BFS vs hand-computed hop distances on a path
+    plus a disconnected triangle; seeds in both components."""
+    from clip_retrieval_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12),
+         (10, 12)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(1,), (10,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds, rounds=3).collect()
+    }
+    # 5 and 6 are 4 and 5 hops from seed 1 -> absent at rounds=3
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 10: 0, 11: 1, 12: 1}
+
+
+def test_bfs_distances_matches_python_bfs_random(spark):
+    """Property: on a random graph, frontier-only expansion equals a
+    plain Python multi-source BFS (the full-expansion fixpoint)."""
+    import random
+    from collections import deque
+
+    from clip_retrieval_spark.operators.graph import bfs_distances
+
+    rng = random.Random(7)
+    n, m = 40, 90
+    edge_list = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+    ]
+    seeds = [0, 1]
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist, dq = {s: 0 for s in seeds}, deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, seeds_df, rounds=3).collect()
+    }
+    assert got == dist
+
+
+def test_ntriples_serialization_and_iri_escaping(spark):
+    """to_ntriples emits W3C-shaped lines; IRIREF-forbidden characters
+    in surfaces are percent-encoded, % first so escapes don't
+    double-encode."""
+    from clip_retrieval_spark.operators.materialize import to_ntriples
+
+    edges = spark.createDataFrame(
+        [
+            ("Acme Corp", "acquired", "Beta<Inc>", "u1"),
+            ('100% "raw"', "owns", "a|b{c}^`\\", "u2"),
+        ],
+        "subj_surface string, pred string, obj_surface string, "
+        "url string",
+    )
+    lines = {
+        r["url"]: r["ntriple"] for r in to_ntriples(edges).collect()
+    }
+    assert lines["u1"] == (
+        "<http://kg.example/e/Acme%20Corp> "
+        "<http://kg.example/p/acquired> "
+        "<http://kg.example/e/Beta%3CInc%3E> ."
+    )
+    assert lines["u2"] == (
+        "<http://kg.example/e/100%25%20%22raw%22> "
+        "<http://kg.example/p/owns> "
+        "<http://kg.example/e/a%7Cb%7Bc%7D%5E%60%5C> ."
+    )

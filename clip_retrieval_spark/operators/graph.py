@@ -288,7 +288,11 @@ def bfs_distances(
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=False)
         )
-        frontier = dist.filter(F.col("dist") == r)
+        if r < rounds:
+            # truncate lineage between rounds; the FINAL round stays
+            # un-checkpointed so the returned plan is inspectable
+            # (and the caller decides whether to materialize)
+            dist = dist.localCheckpoint(eager=False)
+            frontier = dist.filter(F.col("dist") == r)
     return dist

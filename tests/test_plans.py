@@ -286,3 +286,70 @@ def test_count_min_estimate_broadcasts_sketch(spark):
     p = _plan(spark, "topk_tokens_sketch")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bfs_round_is_partial_min_agg_no_cartesian(spark):
+    """Each BFS round must fold reaches with a PARTIAL (map-side) min
+    aggregation — hub fan-in is absorbed before the shuffle — and the
+    frontier join must be a real equi-join, never a cartesian."""
+    from pyspark.sql import functions as F
+
+    from clip_retrieval_spark.operators.graph import bfs_distances
+
+    edges = spark.range(200).select(
+        (F.col("id") % 50).alias("src"),
+        ((F.col("id") * 7) % 50).alias("dst"),
+    )
+    seeds = spark.range(2).select(F.col("id").alias("node"))
+    df = bfs_distances(edges, seeds, rounds=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "partial_min" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_twohop_joins_aggregated_pairs_not_raw_edges(spark):
+    """The two-hop motif self-join must consume the AGGREGATED
+    entity-pair counts (a HashAggregate feeds each join side), never
+    the raw edge table — multiplicity products, not row explosion."""
+    p = _plan(spark, "kg_twohop_paths")
+    joins = [
+        ln for ln in p.splitlines() if "SortMergeJoin" in ln
+        or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    ]
+    assert joins, p
+    # both inputs to the motif join are post-aggregation: the plan
+    # carries the count alias (cnt) into the join keys' subtree
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ntriples_export_is_map_only_after_edges(spark):
+    """N-Triples serialization adds NO exchange beyond what the edge
+    materialization itself requires: the serialize step is a project
+    over the edge output (same exchange count as kg_nodes_edges)."""
+    p_edges = _plan(spark, "kg_nodes_edges")
+    p_nt = _plan(spark, "kg_ntriples_export")
+    n_ex_edges = p_edges.count("Exchange")
+    n_ex_nt = p_nt.count("Exchange")
+    assert n_ex_nt <= n_ex_edges, (n_ex_nt, n_ex_edges)
+
+
+def test_hll_register_table_is_algebraic(spark):
+    """The HLL register fold must be a partial max aggregation
+    (map-side combinable — O(m) state per group at any scale)."""
+    p = _plan(spark, "hll_distinct_sketch")
+    assert "partial_max" in p
+    assert "CartesianProduct" not in p
+
+
+def test_blocking_topk_is_window_group_limit(spark):
+    """The blocking-profile top-20 must plan as a pruned ranked
+    window — WindowGroupLimit (grouped) or TakeOrderedAndProject
+    feeding the Window (global rank: only the top rows reach the
+    window at all) — never a full sort of every block."""
+    p = _plan(spark, "blocking_key_stats")
+    assert "WindowGroupLimit" in p or "TakeOrderedAndProject" in p, p

@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     # topk_tokens_by_source (same upstream tokenization, and the sketch
     # path is the one that matters at scale)
     "topk_tokens_sketch",
+    # r5 KG-consumer additions: the frontier BFS (new iterative shape)
+    # and the two-hop motif (re-runs the stage DAG + aggregated self-
+    # join). hll/blocking share benched upstreams (tokenization);
+    # ntriples shares kg_nodes_edges' — benching them double-counts.
+    "doc_bfs_distances",
+    "kg_twohop_paths",
 ]
 
 
@@ -152,7 +158,11 @@ def main() -> None:
     r03_set = set(BENCH_QUERIES) - {"chunk_dedup_ratio",
                                     "doc_communities_lpa",
                                     "semantic_dedup_keep",
-                                    "lm_perplexity"}
+                                    "lm_perplexity",
+                                    # added after r3 (r5):
+                                    "topk_tokens_sketch",
+                                    "doc_bfs_distances",
+                                    "kg_twohop_paths"}
     total_r03 = round(
         sum(v for k, v in timings.items() if k in r03_set), 3
     )

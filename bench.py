@@ -56,12 +56,13 @@ BENCH_QUERIES = [
     # topk_tokens_by_source (same upstream tokenization, and the sketch
     # path is the one that matters at scale)
     "topk_tokens_sketch",
-    # r5 KG-consumer additions: the frontier BFS (new iterative shape)
-    # and the two-hop motif (re-runs the stage DAG + aggregated self-
-    # join). hll/blocking share benched upstreams (tokenization);
-    # ntriples shares kg_nodes_edges' — benching them double-counts.
-    "doc_bfs_distances",
-    "kg_twohop_paths",
+    # The r5 KG-consumer gates are gate-only, per the
+    # link_prediction_topk precedent: doc_bfs_distances' wall is ~85%
+    # the same dedup_jaccard_pairs upstream doc_communities_lpa
+    # already times (measured at sf0.1: 12.7 s jaccard vs 2.5 s of
+    # actual BFS rounds), kg_twohop_paths/kg_ntriples_export re-run
+    # the stage DAG kg_links already times, and hll/blocking share
+    # the benched tokenization upstreams.
 ]
 
 
@@ -160,9 +161,7 @@ def main() -> None:
                                     "semantic_dedup_keep",
                                     "lm_perplexity",
                                     # added after r3 (r5):
-                                    "topk_tokens_sketch",
-                                    "doc_bfs_distances",
-                                    "kg_twohop_paths"}
+                                    "topk_tokens_sketch"}
     total_r03 = round(
         sum(v for k, v in timings.items() if k in r03_set), 3
     )

@@ -3725,6 +3725,111 @@ FROM ranked WHERE rnk <= 20 ORDER BY rnk
 """
 
 
+def sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): per source, the 5 documents drawn with probability
+    proportional to length (n_chars) — the quality-weighted data-
+    selection primitive (sample training docs ∝ a quality score). Each
+    doc gets key = ln(u)/w with u = md5-hash fraction (the KMV gate's
+    52-bit trick) and w = n_chars; the top-5 keys per source ARE the
+    weighted sample. Hash-based, not RNG-based, so the sample is
+    reproducible across runs, engines, partitionings, and retries —
+    and exactly SQL-replayable (both engines compute ln of identical
+    doubles; ranks tie-break by doc_id).
+
+    Scale shape: a narrow per-row key + the heavy-hitters gate's
+    ranked-window prune (WindowGroupLimit) — one keyed shuffle, no
+    sort of the full corpus."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**13))
+    )
+    keyed = docs.withColumn("_key", F.log(u) / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "rnk", "doc_id", "n_chars")
+        .orderBy("source", "rnk")
+    )
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         ln(list_reduce(
+              list_transform(range(1, 14),
+                i -> strpos('0123456789abcdef',
+                            substr(md5(doc_id::VARCHAR), i, 1)) - 1),
+              (acc, x) -> acc * 16 + x)::DOUBLE / {float(16**13)})
+           / n_chars AS _key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY _key DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT source, rnk::BIGINT AS rnk, doc_id, n_chars
+FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
+"""
+
+
+def events_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (decile) binning of the events value stream per
+    event type — the feature-binning / histogram primitive (quantile
+    bucketing for model features, drift monitors). ntile(10) over a
+    TOTAL order (value, then event_id) so bucket boundaries are
+    deterministic and exactly SQL-replayable; per decile: row count
+    and the value range it spans.
+
+    Scale shape: one keyed shuffle on event_type; within a partition
+    ntile is a single sort-based window pass, and the per-decile agg
+    is algebraic. For quantiles over a SINGLE giant group, the exact
+    grouped-quantiles gate (quality_percentiles) documents the
+    distributed-sort path."""
+    ev = _t(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+EVENTS_DECILES_SQL = """
+WITH binned AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile::BIGINT AS decile, COUNT(*)::BIGINT AS n,
+       ROUND(MIN(value), 2) AS lo, ROUND(MAX(value), 2) AS hi
+FROM binned GROUP BY event_type, decile
+ORDER BY event_type, decile
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3768,6 +3873,8 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "doc_bfs_distances": (doc_bfs_distances, DOC_BFS_SQL),
     "hll_distinct_sketch": (hll_distinct_sketch, HLL_SKETCH_SQL),
     "blocking_key_stats": (blocking_key_stats, BLOCKING_KEYS_SQL),
+    "sample_weighted": (sample_weighted, SAMPLE_WEIGHTED_SQL),
+    "events_value_deciles": (events_value_deciles, EVENTS_DECILES_SQL),
     # --- core KG / dedup / ANN gates (keep in the driver window) ---
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

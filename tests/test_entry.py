@@ -103,6 +103,8 @@ def test_every_query_is_oracled():
         "doc_bfs_distances",
         "hll_distinct_sketch",
         "blocking_key_stats",
+        "sample_weighted",
+        "events_value_deciles",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

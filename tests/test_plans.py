@@ -353,3 +353,22 @@ def test_blocking_topk_is_window_group_limit(spark):
     window at all) — never a full sort of every block."""
     p = _plan(spark, "blocking_key_stats")
     assert "WindowGroupLimit" in p or "TakeOrderedAndProject" in p, p
+
+
+def test_weighted_sample_is_ranked_window_prune(spark):
+    """A-Res weighted sampling must plan as a grouped ranked-window
+    prune (WindowGroupLimit) — per-source top-5 keys, never a full
+    sort of the corpus."""
+    p = _plan(spark, "sample_weighted")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_deciles_single_hash_shuffle(spark):
+    """Decile binning costs ONE keyed hash shuffle: the ntile window
+    partitions by event_type and the (event_type, decile) aggregation
+    reuses that partitioning (subset-clustering satisfaction) — no
+    second hash exchange."""
+    p = _plan(spark, "events_value_deciles")
+    n_hash_ex = len(re.findall(r"hashpartitioning\(event_type", p))
+    assert n_hash_ex == 1, p
+    assert "partial_count" in p  # decile agg is map-side combinable

@@ -3831,6 +3831,358 @@ ORDER BY event_type, decile
 
 
 # ---------------------------------------------------------------------------
+# r5 wave 2: containment dedup, clustering evaluation, in-place chunk
+# strip, corpus entropy profiling
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_T = 0.8
+
+
+def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-set CONTAINMENT similarity join: C(A,B) = |A∩B| /
+    min(|A|,|B|) >= 0.8, same source + df-cap blocking as
+    dedup_jaccard_pairs.
+
+    Why a separate signal: Jaccard misses subset duplication — a short
+    doc fully quoted inside a long one scores |A|/(|B|) Jaccard
+    (arbitrarily low) but containment 1.0. Web pipelines use
+    containment to catch boilerplate inclusion and quote-reuse that
+    symmetric overlap measures dilute (the reference dedups only by
+    whole-embedding distance, clip_back.py:257-268; sub-document
+    containment is the text-native generalization).
+
+    Scale shape: identical to the Jaccard join — per-source token
+    equi-join with per-token df capped at 256, so worst-case fanout
+    per token is a constant; sizes computed after the cap so both
+    engines agree exactly."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    all_toks = _doc_tokens(spark, sf).join(docs, "doc_id")
+    tok_df = all_toks.groupBy("source", "tok").agg(
+        F.count("*").alias("_df")
+    )
+    toks = all_toks.join(
+        tok_df.filter(F.col("_df") <= _JACCARD_DF_CAP), ["source", "tok"]
+    ).drop("_df")
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.select(
+        F.col("source"), F.col("doc_id").alias("a"), F.col("tok")
+    )
+    b = toks.select(
+        F.col("source"), F.col("doc_id").alias("b"), F.col("tok")
+    )
+    inter = (
+        a.join(b, ["source", "tok"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "containment",
+            F.round(F.col("c") / F.least("sza", "szb"), 4),
+        )
+        .filter(F.col("containment") >= _CONTAINMENT_T)
+        .select("a", "b", "containment")
+        .orderBy("a", "b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH all_toks AS (
+  SELECT t.doc_id, t.tok, d.source
+  FROM ({toks}) t JOIN documents d USING (doc_id)
+),
+toks AS (
+  SELECT doc_id, tok, source FROM (
+    SELECT doc_id, tok, source,
+           COUNT(*) OVER (PARTITION BY source, tok) AS _df
+    FROM all_toks
+  ) WHERE _df <= __DF_CAP__
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS c
+  FROM toks a JOIN toks b ON a.source = b.source AND a.tok = b.tok
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, ROUND(c / LEAST(sa.sz, sb.sz), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE ROUND(c / LEAST(sa.sz, sb.sz), 4) >= __CONT_T__
+ORDER BY a, b
+""".format(toks=_DOC_TOKENS_SQL).replace(
+    "__DF_CAP__", str(_JACCARD_DF_CAP)
+).replace("__CONT_T__", str(_CONTAINMENT_T))
+
+
+def cluster_agreement_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering against a
+    gold clustering WITHOUT materializing any pair: predicted = SimHash
+    fingerprint equality (dedup_simhash), gold = exact content hash
+    (dedup_exact's key). This is the standard entity-resolution /
+    canonicalization quality metric (pair-counting family), computed by
+    contingency-cell choose-2 algebra:
+
+        tp    = sum over (pred,gold) cells of C(n_cell, 2)
+        pred  = sum over pred clusters of C(n, 2)
+        gold  = sum over gold clusters of C(n, 2)
+
+    Scale shape: three algebraic aggregations over (pred, gold) label
+    pairs — never an explicit pair join, so a 10^9-doc clustering with
+    million-row clusters costs the same as a uniform one (C(n,2) is
+    computed from counts, not enumerated). The three one-row results
+    meet in broadcast cross-joins."""
+    sim = dedup_simhash(spark, sf)  # (doc_id, simhash) = predicted label
+    gold = _t(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("gold")
+    )
+    labels = sim.join(gold, "doc_id").select(
+        F.col("simhash").alias("pred"), "gold"
+    )
+    cells = labels.groupBy("pred", "gold").agg(F.count("*").alias("n"))
+
+    def _pairs(col):
+        return F.sum((F.col(col) * (F.col(col) - 1) / 2).cast("long"))
+
+    tp = cells.agg(_pairs("n").alias("tp_pairs"))
+    pred = (
+        cells.groupBy("pred")
+        .agg(F.sum("n").alias("n"))
+        .agg(_pairs("n").alias("pred_pairs"))
+    )
+    gld = (
+        cells.groupBy("gold")
+        .agg(F.sum("n").alias("n"))
+        .agg(_pairs("n").alias("gold_pairs"))
+    )
+    out = tp.crossJoin(F.broadcast(pred)).crossJoin(F.broadcast(gld))
+    prec = F.round(
+        F.col("tp_pairs") / F.nullif(F.col("pred_pairs"), F.lit(0)), 4
+    )
+    rec = F.round(
+        F.col("tp_pairs") / F.nullif(F.col("gold_pairs"), F.lit(0)), 4
+    )
+    return out.select(
+        "tp_pairs",
+        "pred_pairs",
+        "gold_pairs",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.round(
+            2.0
+            * F.col("tp_pairs")
+            / F.nullif(
+                F.col("pred_pairs") + F.col("gold_pairs"), F.lit(0)
+            ),
+            4,
+        ).alias("f1"),
+    )
+
+
+CLUSTER_AGREEMENT_SQL = """
+WITH sim AS ({simhash}),
+labels AS (
+  SELECT s.simhash AS pred, md5(d.text) AS gold
+  FROM sim s JOIN documents d USING (doc_id)
+),
+cells AS (
+  SELECT pred, gold, COUNT(*)::BIGINT AS n FROM labels GROUP BY 1, 2
+),
+tp AS (SELECT SUM(n * (n - 1) // 2)::BIGINT AS tp_pairs FROM cells),
+pp AS (
+  SELECT SUM(n * (n - 1) // 2)::BIGINT AS pred_pairs
+  FROM (SELECT SUM(n) AS n FROM cells GROUP BY pred)
+),
+gp AS (
+  SELECT SUM(n * (n - 1) // 2)::BIGINT AS gold_pairs
+  FROM (SELECT SUM(n) AS n FROM cells GROUP BY gold)
+)
+SELECT tp_pairs, pred_pairs, gold_pairs,
+       ROUND(tp_pairs / NULLIF(pred_pairs, 0), 4) AS precision,
+       ROUND(tp_pairs / NULLIF(gold_pairs, 0), 4) AS recall,
+       ROUND(2.0 * tp_pairs / NULLIF(pred_pairs + gold_pairs, 0), 4) AS f1
+FROM tp, pp, gp
+""".format(simhash=DEDUP_SIMHASH_SQL)
+
+
+def chunk_strip_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """In-place sub-document dedup (the rewrite counterpart of
+    chunk_dedup_ratio): REMOVE every 8-token chunk that appears in >= 2
+    distinct documents and reconstruct each document from its kept
+    chunks in original order — what CCNet/RefinedWeb-style pipelines do
+    to strip shared boilerplate while keeping the page. Trailing
+    sub-8-token fragments are outside the chunking (consistent with
+    chunk_dedup_ratio's chunk definition).
+
+    Scale shape: one md5-keyed agg for the cross-doc dup set, one join
+    back, and per-doc reconstruction as sort_array(collect_list(
+    struct(pos, chunk))) — the struct sort makes the rebuild
+    order-deterministic under any partitioning; per-doc state is
+    bounded by document length, never by corpus size."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_chunks = F.floor(F.size(toks) / _CHUNK_W).cast("int")
+    idx = F.when(
+        n_chunks >= 1, F.sequence(F.lit(1), n_chunks)
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.select(
+        "doc_id", n_chunks.cast("long").alias("n_chunks"), idx.alias("idx"),
+        toks.alias("t"),
+    )
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.col("idx"),
+                lambda i: F.concat_ws(
+                    " ", F.slice("t", (i - 1) * _CHUNK_W + 1, _CHUNK_W)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("h", F.md5("chunk"))
+    dup = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    kept = (
+        chunks.join(dup, "h", "left")
+        .filter(F.col("_dup").isNull())
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "chunk"))
+                    ),
+                    lambda x: x["chunk"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_chunks")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_STRIP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(t[(i-1)*{_CHUNK_W}+1 : i*{_CHUNK_W}], ' ') AS c
+  FROM (
+    SELECT doc_id, t,
+           unnest(range(1, (len(t) // {_CHUNK_W}) + 1)) AS i
+    FROM tk
+  )
+),
+dup AS (
+  SELECT md5(c) AS h FROM chunks GROUP BY 1
+  HAVING COUNT(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         string_agg(c, ' ' ORDER BY i) AS kept_text
+  FROM chunks WHERE md5(c) NOT IN (SELECT h FROM dup)
+  GROUP BY doc_id
+)
+SELECT tk.doc_id, (len(tk.t) // {_CHUNK_W})::BIGINT AS n_chunks,
+       COALESCE(kept.n_kept, 0)::BIGINT AS n_kept,
+       COALESCE(kept.kept_text, '') AS kept_text
+FROM tk LEFT JOIN kept USING (doc_id)
+ORDER BY tk.doc_id
+"""
+
+
+def token_entropy_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source unigram Shannon entropy — the corpus-quality
+    diagnostic that flags templated / spammy / low-diversity sources
+    (low entropy = a few tokens dominate; used alongside perplexity in
+    LLM-data curation).
+
+        H = log2(N) - (sum_t c_t * log2(c_t)) / N
+
+    computed from per-(source, token) counts only — the identity keeps
+    everything a single algebraic aggregation pass (map-side
+    combinable), with no per-token probability join. Output also
+    carries N, vocabulary size, and the max token share (a head-token
+    dominance check).
+
+    Scale shape: two chained hash aggs keyed (source, tok) then
+    (source); hub tokens fold map-side before the shuffle, so head-token
+    skew never concentrates rows."""
+    docs = _t(spark, sf, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("source", "tok").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("vocab"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clogc"),
+            F.max("c").alias("_maxc"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.log2(F.col("n_tokens").cast("double"))
+                - F.col("_clogc") / F.col("n_tokens"),
+                4,
+            ).alias("entropy_bits"),
+            F.round(F.col("_maxc") / F.col("n_tokens"), 4).alias(
+                "max_token_share"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH cnt AS (
+  SELECT source, tok, COUNT(*)::DOUBLE AS c
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY source, tok
+)
+SELECT source,
+       SUM(c)::BIGINT AS n_tokens,
+       COUNT(*)::BIGINT AS vocab,
+       ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits,
+       ROUND(MAX(c) / SUM(c), 4) AS max_token_share
+FROM cnt GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3875,6 +4227,19 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "blocking_key_stats": (blocking_key_stats, BLOCKING_KEYS_SQL),
     "sample_weighted": (sample_weighted, SAMPLE_WEIGHTED_SQL),
     "events_value_deciles": (events_value_deciles, EVENTS_DECILES_SQL),
+    "dedup_containment_pairs": (
+        dedup_containment_pairs,
+        DEDUP_CONTAINMENT_SQL,
+    ),
+    "cluster_agreement_metrics": (
+        cluster_agreement_metrics,
+        CLUSTER_AGREEMENT_SQL,
+    ),
+    "chunk_strip_docs": (chunk_strip_docs, CHUNK_STRIP_SQL),
+    "token_entropy_by_source": (
+        token_entropy_by_source,
+        TOKEN_ENTROPY_SQL,
+    ),
     # --- core KG / dedup / ANN gates (keep in the driver window) ---
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
@@ -3900,15 +4265,15 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     # full link table keeps hash ids + model scores: rows-only by design;
     # the rank-1 self-match invariant below is the oracle-checked slice
     "kg_links": (kg_links, KG_LINKS_SQL),
+    # --- long-stable gates rotated behind the driver's 50-query window
+    # (driver-green r1-r4; still oracle-checked at sf0.01 AND sf0.001 by
+    # tests/test_entry.py) ---
     "kg_links_rank1": (kg_links_rank1, KG_LINKS_RANK1_SQL),
     "kg_nodes_edges": (kg_nodes_edges, KG_NODES_EDGES_SQL),
     "bpe_token_counts": (bpe_token_counts, BPE_TOKEN_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
     "kg_degree_stats": (kg_degree_stats, KG_DEGREE_SQL),
     "kg_pagerank3": (kg_pagerank3, KG_PAGERANK_SQL),
-    # --- long-stable gates rotated behind the driver's 50-query window
-    # (driver-green r1-r4; still oracle-checked at sf0.01 AND sf0.001 by
-    # tests/test_entry.py) ---
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
     "kmeans_assign2": (kmeans_assign2, KMEANS_SQL),
     "bm25_topterms": (bm25_topterms, BM25_SQL),

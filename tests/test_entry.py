@@ -105,6 +105,10 @@ def test_every_query_is_oracled():
         "blocking_key_stats",
         "sample_weighted",
         "events_value_deciles",
+        "dedup_containment_pairs",
+        "cluster_agreement_metrics",
+        "chunk_strip_docs",
+        "token_entropy_by_source",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -372,3 +372,48 @@ def test_deciles_single_hash_shuffle(spark):
     n_hash_ex = len(re.findall(r"hashpartitioning\(event_type", p))
     assert n_hash_ex == 1, p
     assert "partial_count" in p  # decile agg is map-side combinable
+
+
+def test_containment_join_is_equi_join_no_cartesian(spark):
+    """The containment similarity join must stay a (source, tok)
+    equi-join with algebraic pair counts — identical shape to the
+    Jaccard join; a nested-loop pair enumeration would be O(n^2) at
+    corpus scale."""
+    p = _plan(spark, "dedup_containment_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
+
+
+def test_cluster_agreement_never_materializes_pairs(spark):
+    """Pair-counting metrics must come from contingency-cell choose-2
+    ALGEBRA (partial sums over label cells), never an explicit pair
+    join: the only non-equi meet allowed is the broadcast cross of the
+    three one-row totals."""
+    p = _plan(spark, "cluster_agreement_metrics")
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p
+    # the label join (doc_id) and the one-row meets are the only joins;
+    # none of them may be keyed on a pair of document ids
+    assert "SortMergeJoin [a#" not in p and "doc_pair" not in p
+
+
+def test_chunk_strip_dup_join_is_equi_keyed(spark):
+    """The duplicate-chunk set joins back by its md5 key — an
+    equi-join (hash or sort-merge), never a nested loop; the rebuild
+    aggregation is the only wide stage past it."""
+    p = _plan(spark, "chunk_strip_docs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_token_entropy_is_join_free_algebraic(spark):
+    """Entropy via log2(N) - sum(c*log2 c)/N folds out of per-(source,
+    tok) counts with NO join anywhere — two chained hash aggregations,
+    both map-side combinable (hub tokens fold before the shuffle)."""
+    p = _plan(spark, "token_entropy_by_source")
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct",
+              "ShuffledHashJoin"):
+        assert j not in p, j
+    assert "partial_count" in p

@@ -4182,6 +4182,251 @@ FROM cnt GROUP BY source ORDER BY source
 """
 
 
+def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct 8-token chunks they share — the dump-to-dump /
+    snapshot-to-snapshot overlap analysis run before mixing crawl
+    corpora (a chunk shared across sources is syndicated or boilerplate
+    content that would double-count in training).
+
+    Scale shape: the join key is the chunk hash over the DISTINCT
+    (source, chunk) surface, so per-key fanout is bounded by the number
+    of sources (a constant ~10s-100s), never by chunk popularity inside
+    a source; pair counts are algebraic."""
+    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    n_chunks = F.floor(F.size(toks) / _CHUNK_W).cast("int")
+    idx = F.when(
+        n_chunks >= 1, F.sequence(F.lit(1), n_chunks)
+    ).otherwise(F.array().cast("array<int>"))
+    sc = (
+        docs.select(
+            "source",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, (i - 1) * _CHUNK_W + 1, _CHUNK_W)
+                    ),
+                )
+            ).alias("chunk"),
+        )
+        .select("source", F.md5("chunk").alias("h"))
+        .distinct()
+    )
+    a = sc.select(F.col("source").alias("source_a"), "h")
+    b = sc.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_chunks"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH tk AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+sc AS (
+  SELECT DISTINCT source, md5(c) AS h
+  FROM (
+    SELECT source,
+           unnest([array_to_string(t[(i-1)*{_CHUNK_W}+1 : i*{_CHUNK_W}], ' ')
+                   FOR i IN range(1, (len(t) // {_CHUNK_W}) + 1)]) AS c
+    FROM tk
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*)::BIGINT AS shared_chunks
+FROM sc a JOIN sc b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+def pmi_bigrams_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining: top-20 adjacent-token bigrams by pointwise
+    mutual information over the bigram distribution,
+
+        PMI(x, y) = log2( c(x,y) * N / (c(x,*) * c(*,y)) )
+
+    with a min-count floor (PMI is noise without one). The classic
+    corpus-analysis signal for multiword expressions; in curation it
+    flags templated word pairs.
+
+    Scale shape: every input to PMI is an algebraic count off the one
+    exploded bigram table — marginals are keyed re-aggregations that
+    co-partition with their join; N is a broadcast scalar; the final
+    top-20 is a TakeOrderedAndProject, never a full sort. Ordering is
+    on the ROUNDED pmi (then words) so rank 20 cannot flip on a ulp."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    tk = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
+    bg = tk.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), F.size("t") - 1),
+                F.slice("t", F.lit(2), F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c_xy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c_x = c_xy.groupBy("w1").agg(F.sum("c").alias("cx"))
+    c_y = c_xy.groupBy("w2").agg(F.sum("c").alias("cy"))
+    n = c_xy.agg(F.sum("c").cast("double").alias("n"))
+    scored = (
+        c_xy.filter(F.col("c") >= _PMI_MIN_COUNT)
+        .join(c_x, "w1")
+        .join(c_y, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c"),
+            F.round(
+                F.log2(F.col("c") * F.col("n") / (F.col("cx") * F.col("cy"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_TOPK)
+
+
+PMI_BIGRAMS_SQL = f"""
+WITH tk AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk WHERE len(t) >= 2)
+),
+c_xy AS (SELECT w1, w2, COUNT(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+c_x AS (SELECT w1, SUM(c) AS cx FROM c_xy GROUP BY 1),
+c_y AS (SELECT w2, SUM(c) AS cy FROM c_xy GROUP BY 1),
+n AS (SELECT SUM(c)::DOUBLE AS n FROM c_xy)
+SELECT w1, w2, c,
+       ROUND(log2(c * n.n / (cx * cy)), 4) AS pmi
+FROM c_xy JOIN c_x USING (w1) JOIN c_y USING (w2) CROSS JOIN n
+WHERE c >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT {_PMI_TOPK}
+"""
+
+_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z, the events epoch
+
+
+def events_trend_slopes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type linear trend of value over time (ordinary least
+    squares via the built-in regr_* aggregates) — the monitoring
+    primitive behind drift dashboards: is this metric rising, and how
+    fast per day?
+
+    x is DAYS since the corpus epoch (a deterministic constant shift),
+    keeping x^2 sums well inside double precision — raw epoch seconds
+    squared would eat the mantissa and make the slope numerically
+    unstable.
+
+    Scale shape: regr_slope/intercept/r2 are algebraic (sums of x, y,
+    xy, x^2 — map-side combinable), so the whole gate is one hash
+    aggregation keyed by event_type."""
+    ev = _t(spark, sf, "events").select("event_type", "ts", "value")
+    x = (F.unix_timestamp("ts") - F.lit(_EPOCH_2024)) / F.lit(86400.0)
+    return (
+        ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.regr_slope("y", "x"), 4).alias("slope_per_day"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_TREND_SQL = f"""
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       ROUND(regr_slope(value, x), 4) AS slope_per_day,
+       ROUND(regr_intercept(value, x), 4) AS intercept,
+       ROUND(regr_r2(value, x), 4) AS r2
+FROM (
+  SELECT event_type, value,
+         (epoch(ts) - {_EPOCH_2024}) / 86400.0 AS x
+  FROM events
+)
+GROUP BY event_type ORDER BY event_type
+"""
+
+_CORR_DIMS = 8
+
+
+def embedding_dim_correlations(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label Pearson correlation between the first 8 embedding
+    dimensions (28 pairs) — the embedding-health / drift profile:
+    a trained-encoder regression (dim collapse, duplicated features)
+    shows up as correlation structure shifting between corpus
+    snapshots before any retrieval metric moves.
+
+    Scale shape: every corr is an algebraic aggregate (sums, squares,
+    cross-products), all 28 computed in ONE hash-agg pass over the
+    scan (wide agg + unpivot) — no explode of the vector column, no
+    join, no second scan."""
+    emb = _t(spark, sf, "embeddings").select("label", "embedding")
+    dims = emb.select(
+        "label",
+        *[
+            F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
+            for i in range(_CORR_DIMS)
+        ],
+    )
+    aggs = [
+        F.round(F.corr(f"d{i}", f"d{j}"), 4).alias(f"c_{i}_{j}")
+        for i in range(_CORR_DIMS)
+        for j in range(i + 1, _CORR_DIMS)
+    ]
+    wide = dims.groupBy("label").agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, {j}, c_{i}_{j}"
+        for i in range(_CORR_DIMS)
+        for j in range(i + 1, _CORR_DIMS)
+    )
+    n_pairs = _CORR_DIMS * (_CORR_DIMS - 1) // 2
+    return (
+        wide.select(
+            "label",
+            F.expr(
+                f"stack({n_pairs}, {stack_args}) AS (dim_i, dim_j, corr)"
+            ),
+        )
+        .orderBy("label", "dim_i", "dim_j")
+    )
+
+
+EMB_DIM_CORR_SQL = f"""
+WITH dims AS (
+  SELECT label, i.i AS dim_i, j.j AS dim_j,
+         embedding[i.i + 1]::DOUBLE AS vi, embedding[j.j + 1]::DOUBLE AS vj
+  FROM '__SF__/embeddings.parquet',
+       (SELECT unnest(range({_CORR_DIMS})) AS i) i,
+       (SELECT unnest(range({_CORR_DIMS})) AS j) j
+  WHERE i.i < j.j
+)
+SELECT label, dim_i::INT AS dim_i, dim_j::INT AS dim_j,
+       ROUND(corr(vi, vj), 4) AS corr
+FROM dims GROUP BY label, dim_i, dim_j
+ORDER BY label, dim_i, dim_j
+""".replace("__SF__/embeddings.parquet", "embeddings")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4239,6 +4484,13 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "token_entropy_by_source": (
         token_entropy_by_source,
         TOKEN_ENTROPY_SQL,
+    ),
+    "source_overlap_matrix": (source_overlap_matrix, SOURCE_OVERLAP_SQL),
+    "pmi_bigrams_topk": (pmi_bigrams_topk, PMI_BIGRAMS_SQL),
+    "events_trend_slopes": (events_trend_slopes, EVENTS_TREND_SQL),
+    "embedding_dim_correlations": (
+        embedding_dim_correlations,
+        EMB_DIM_CORR_SQL,
     ),
     # --- core KG / dedup / ANN gates (keep in the driver window) ---
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),

@@ -109,6 +109,10 @@ def test_every_query_is_oracled():
         "cluster_agreement_metrics",
         "chunk_strip_docs",
         "token_entropy_by_source",
+        "source_overlap_matrix",
+        "pmi_bigrams_topk",
+        "events_trend_slopes",
+        "embedding_dim_correlations",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -417,3 +417,47 @@ def test_token_entropy_is_join_free_algebraic(spark):
               "ShuffledHashJoin"):
         assert j not in p, j
     assert "partial_count" in p
+
+
+def test_source_overlap_joins_on_hash_equi(spark):
+    """The cross-source overlap join must be an equi-join on the chunk
+    hash over the distinct (source, chunk) surface — per-key fanout is
+    bounded by the source count, and pair counts stay algebraic."""
+    p = _plan(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "partial_count" in p
+
+
+def test_pmi_topk_is_take_ordered(spark):
+    """The PMI top-20 must plan as TakeOrderedAndProject (per-partition
+    heap), never a full sort of the bigram vocabulary; the corpus-total
+    scalar joins by broadcast."""
+    p = _plan(spark, "pmi_bigrams_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p and "partial_sum" in p
+
+
+def test_trend_slopes_single_algebraic_agg(spark):
+    """OLS trends must be ONE join-free hash aggregation — the regr_*
+    functions decompose into partial sums (map-side combinable)."""
+    p = _plan(spark, "events_trend_slopes")
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct",
+              "ShuffledHashJoin"):
+        assert j not in p, j
+    assert "partial_regr_slope" in p
+
+
+def test_dim_correlations_one_pass_no_joins(spark):
+    """All 28 pairwise correlations must come from ONE hash-agg pass
+    over the scan (partial_corr is algebraic); the stack() unpivot runs
+    on the per-label aggregated output, and there is no join and no
+    explode of the vector column feeding the aggregate."""
+    p = _plan(spark, "embedding_dim_correlations")
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct",
+              "ShuffledHashJoin"):
+        assert j not in p, j
+    assert "partial_corr" in p

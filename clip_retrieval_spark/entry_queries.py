@@ -4427,6 +4427,98 @@ ORDER BY label, dim_i, dim_j
 """.replace("__SF__/embeddings.parquet", "embeddings")
 
 
+def kg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental KG maintenance through the REAL pipeline: run
+    stages 1-2 on two disjoint page snapshots (even / odd warc_ts —
+    two crawls of the corpus), aggregate each snapshot's (subj, obj)
+    edge weights independently, and merge them with
+    operators.materialize.merge_weighted_edges. The oracle aggregates
+    the whole corpus at once — merge(agg(A), agg(B)) == agg(A ∪ B) is
+    the algebra the incremental path must preserve exactly, or
+    dump-over-dump maintenance silently drifts from a full rebuild.
+
+    Scale shape: each snapshot's aggregation is map-side combinable;
+    the merge is one full-outer hash join of two already-aggregated
+    edge tables (bucketable by the edge key at cluster scale)."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.materialize import (
+        merge_weighted_edges,
+    )
+
+    pages = docs_as_pages(spark, sf)
+
+    def _edges(p: DataFrame) -> DataFrame:
+        tr = extract_triples_df(extract_pages(p))
+        return tr.groupBy("subj", "obj").agg(
+            F.count("*").cast("long").alias("weight")
+        )
+
+    even = pages.filter(F.unix_timestamp("warc_ts") % 2 == 0)
+    odd = pages.filter(F.unix_timestamp("warc_ts") % 2 == 1)
+    return (
+        merge_weighted_edges(_edges(even), _edges(odd))
+        .orderBy("subj", "obj")
+    )
+
+
+KG_INCREMENTAL_SQL = """
+SELECT 'Entity' || (doc_id % 40)       AS subj,
+       'Entity' || ((doc_id * 7) % 40) AS obj,
+       COUNT(*)::BIGINT AS weight
+FROM documents
+GROUP BY 1, 2 ORDER BY subj, obj
+"""
+
+
+def kg_triple_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Provenance rollup per distinct triple: on how many pages was it
+    asserted, over what time span, from how many hosts — the lineage
+    record the north rule requires per fact (a triple seen on one page
+    of one host is a claim; one seen on 10^4 pages across 10^2 hosts
+    over two years is consensus). Downstream confidence weighting keys
+    off exactly these columns.
+
+    Scale shape: one hash aggregation keyed by the triple; min/max/
+    count-distinct are algebraic (the distinct-host count shuffles
+    (triple, host) once); host parsing is a JVM split, no UDF."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+
+    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    host = F.element_at(F.split("url", "/"), 3)
+    return (
+        tr.select("subj", "pred", "obj", "url", "warc_ts", host.alias("host"))
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.count_distinct("url").cast("long").alias("n_pages"),
+            F.count_distinct("host").cast("long").alias("n_hosts"),
+            F.min("warc_ts").alias("first_seen"),
+            F.max("warc_ts").alias("last_seen"),
+        )
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+KG_PROVENANCE_SQL = """
+WITH tr AS (
+  SELECT 'Entity' || (doc_id % 40)       AS subj,
+         'acquired'                      AS pred,
+         'Entity' || ((doc_id * 7) % 40) AS obj,
+         'https://' || source || '.example.com/doc-' || doc_id AS url,
+         source || '.example.com' AS host,
+         to_timestamp(1704067200 + doc_id)::TIMESTAMP AS warc_ts
+  FROM documents
+)
+SELECT subj, pred, obj,
+       COUNT(DISTINCT url)::BIGINT AS n_pages,
+       COUNT(DISTINCT host)::BIGINT AS n_hosts,
+       MIN(warc_ts) AS first_seen,
+       MAX(warc_ts) AS last_seen
+FROM tr GROUP BY 1, 2, 3 ORDER BY subj, pred, obj
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4492,6 +4584,8 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
         embedding_dim_correlations,
         EMB_DIM_CORR_SQL,
     ),
+    "kg_incremental_merge": (kg_incremental_merge, KG_INCREMENTAL_SQL),
+    "kg_triple_provenance": (kg_triple_provenance, KG_PROVENANCE_SQL),
     # --- core KG / dedup / ANN gates (keep in the driver window) ---
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),

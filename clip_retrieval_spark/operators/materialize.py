@@ -205,3 +205,37 @@ def to_ntriples(
         F.lit("> ."),
     )
     return edges.select(*keep, line.alias("ntriple"))
+
+
+def merge_weighted_edges(
+    base: DataFrame, delta: DataFrame, keys: tuple[str, ...] = ("subj", "obj")
+) -> DataFrame:
+    """Incremental KG maintenance: merge a new snapshot's edge-weight
+    aggregate into an existing one — the upsert that lets the edge
+    table be maintained dump-over-dump instead of recomputed from
+    10^12 pages each crawl (the incremental counterpart of the
+    reference's full index rebuild, reference clip_back.py:539-566).
+
+    Both inputs carry ``weight``; the result is keyed union-sum:
+    ``weight = coalesce(base.weight, 0) + coalesce(delta.weight, 0)``.
+    Because counts are algebraic, merge(agg(A), agg(B)) == agg(A ∪ B)
+    exactly — the invariant the kg_incremental_merge gate checks
+    against a whole-corpus oracle.
+
+    Scale shape: one full-outer hash join keyed by the edge key; both
+    sides are already aggregates (small relative to raw triples), and
+    at cluster scale both can be bucketed by the same key so the merge
+    is shuffle-free.
+    """
+    b = base.withColumnRenamed("weight", "_wb")
+    d = delta.withColumnRenamed("weight", "_wd")
+    return (
+        b.join(d, list(keys), "full_outer")
+        .select(
+            *keys,
+            (
+                F.coalesce("_wb", F.lit(0).cast("long"))
+                + F.coalesce("_wd", F.lit(0).cast("long"))
+            ).alias("weight"),
+        )
+    )

@@ -113,6 +113,8 @@ def test_every_query_is_oracled():
         "pmi_bigrams_topk",
         "events_trend_slopes",
         "embedding_dim_correlations",
+        "kg_incremental_merge",
+        "kg_triple_provenance",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

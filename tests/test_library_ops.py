@@ -1121,3 +1121,36 @@ def test_ntriples_serialization_and_iri_escaping(spark):
         "<http://kg.example/p/owns> "
         "<http://kg.example/e/a%7Cb%7Bc%7D%5E%60%5C> ."
     )
+
+
+def test_merge_weighted_edges_algebra(spark):
+    """merge(agg(A), agg(B)) == agg(A ∪ B): disjoint keys pass through,
+    shared keys sum, an empty delta is the identity."""
+    from clip_retrieval_spark.operators.materialize import (
+        merge_weighted_edges,
+    )
+
+    base = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "subj string, obj string, weight long"
+    )
+    delta = spark.createDataFrame(
+        [("a", "b", 2), ("x", "y", 5)], "subj string, obj string, weight long"
+    )
+    got = {
+        (r.subj, r.obj): r.weight
+        for r in merge_weighted_edges(base, delta).collect()
+    }
+    assert got == {("a", "b"): 5, ("a", "c"): 1, ("x", "y"): 5}
+
+    empty = spark.createDataFrame([], "subj string, obj string, weight long")
+    ident = {
+        (r.subj, r.obj): r.weight
+        for r in merge_weighted_edges(base, empty).collect()
+    }
+    assert ident == {("a", "b"): 3, ("a", "c"): 1}
+    # merge is commutative
+    swapped = {
+        (r.subj, r.obj): r.weight
+        for r in merge_weighted_edges(delta, base).collect()
+    }
+    assert swapped == got

@@ -461,3 +461,27 @@ def test_dim_correlations_one_pass_no_joins(spark):
               "ShuffledHashJoin"):
         assert j not in p, j
     assert "partial_corr" in p
+
+
+def test_incremental_merge_is_full_outer_of_aggregates(spark):
+    """The snapshot merge must be ONE full-outer equi-join of two
+    already-aggregated edge tables (partial_count before the join on
+    both sides) — never a re-aggregation of unioned raw triples and
+    never a nested loop."""
+    p = _plan(spark, "kg_incremental_merge")
+    assert "FullOuter" in p
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_provenance_rollup_join_free_algebraic(spark):
+    """Triple provenance is one hash aggregation keyed by the triple —
+    min/max are algebraic, the two count-distincts share one Expand,
+    and there is no join anywhere."""
+    p = _plan(spark, "kg_triple_provenance")
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct",
+              "ShuffledHashJoin"):
+        assert j not in p, j
+    assert "partial_min" in p and "partial_max" in p

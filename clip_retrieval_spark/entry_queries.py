@@ -4519,6 +4519,130 @@ FROM tr GROUP BY 1, 2, 3 ORDER BY subj, pred, obj
 """
 
 
+def kg_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge-level diff between two KG snapshots (the audit counterpart
+    of kg_incremental_merge): which facts a new crawl ADDED, REMOVED,
+    re-weighted (CHANGED) or left STABLE — the report a KG curator
+    reads before promoting a snapshot to production.
+
+    Both snapshots run the real stage-1/2 pipeline; the diff is one
+    full-outer join of the two edge aggregates with a four-way status
+    classification — no raw triples cross the join.
+
+    Scale shape: identical to the merge — two map-side-combinable
+    aggregations meeting in one full-outer hash join keyed by the
+    edge, bucketable at cluster scale."""
+    from clip_retrieval_spark.operators.extract import extract_pages
+    from clip_retrieval_spark.operators.triples import extract_triples_df
+
+    pages = docs_as_pages(spark, sf)
+
+    def _edges(p: DataFrame, w: str) -> DataFrame:
+        tr = extract_triples_df(extract_pages(p))
+        return tr.groupBy("subj", "obj").agg(
+            F.count("*").cast("long").alias(w)
+        )
+
+    base = _edges(pages.filter(F.unix_timestamp("warc_ts") % 2 == 0), "w_base")
+    new = _edges(pages.filter(F.unix_timestamp("warc_ts") % 2 == 1), "w_new")
+    status = (
+        F.when(F.col("w_base").isNull(), F.lit("added"))
+        .when(F.col("w_new").isNull(), F.lit("removed"))
+        .when(F.col("w_base") != F.col("w_new"), F.lit("changed"))
+        .otherwise(F.lit("stable"))
+    )
+    return (
+        base.join(new, ["subj", "obj"], "full_outer")
+        .select("subj", "obj", "w_base", "w_new", status.alias("status"))
+        .orderBy("subj", "obj")
+    )
+
+
+KG_SNAPSHOT_DIFF_SQL = """
+WITH base AS (
+  SELECT 'Entity' || (doc_id % 40)       AS subj,
+         'Entity' || ((doc_id * 7) % 40) AS obj,
+         COUNT(*)::BIGINT AS w_base
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2
+),
+new AS (
+  SELECT 'Entity' || (doc_id % 40)       AS subj,
+         'Entity' || ((doc_id * 7) % 40) AS obj,
+         COUNT(*)::BIGINT AS w_new
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+)
+SELECT COALESCE(base.subj, new.subj) AS subj,
+       COALESCE(base.obj, new.obj) AS obj,
+       w_base, w_new,
+       CASE WHEN w_base IS NULL THEN 'added'
+            WHEN w_new IS NULL THEN 'removed'
+            WHEN w_base <> w_new THEN 'changed'
+            ELSE 'stable' END AS status
+FROM base FULL OUTER JOIN new
+  ON base.subj = new.subj AND base.obj = new.obj
+ORDER BY subj, obj
+"""
+
+_KWIC_TOKEN = "stream"
+_KWIC_W = 2  # context tokens each side
+
+
+def kwic_concordance(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of a query
+    token with ±2 tokens of context — the inspection/debug surface
+    behind every corpus-curation decision ("show me how this token is
+    actually used before I filter on it").
+
+    Scale shape: occurrence positions are found INSIDE the row with
+    JVM higher-order functions (filter over a sequence — no explode of
+    the token array), so only the matching positions fan out; context
+    slicing happens in the same narrow stage and emits plain strings.
+    A corpus-frequency hub token costs rows proportional to its true
+    occurrence count, never |doc| per document."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    t = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", t.alias("t"))
+    poss = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: F.element_at("t", i) == F.lit(_KWIC_TOKEN),
+    )
+    hit = base.select(
+        "doc_id", "t", F.explode(poss).alias("pos")
+    )
+    lo = F.greatest(F.col("pos") - _KWIC_W, F.lit(1))
+    hi = F.least(F.col("pos") + _KWIC_W, F.size("t"))
+    return (
+        hit.select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.concat_ws(
+                " ", F.slice("t", lo, hi - lo + 1)
+            ).alias("context"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+KWIC_SQL = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, t,
+         unnest([i FOR i IN range(1, len(t) + 1)
+                 IF t[i] = '{_KWIC_TOKEN}']) AS pos
+  FROM tk
+)
+SELECT doc_id, pos::INT AS pos,
+       array_to_string(
+         t[greatest(pos - {_KWIC_W}, 1) : least(pos + {_KWIC_W}, len(t))],
+         ' ') AS context
+FROM hits ORDER BY doc_id, pos
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4586,7 +4710,14 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     ),
     "kg_incremental_merge": (kg_incremental_merge, KG_INCREMENTAL_SQL),
     "kg_triple_provenance": (kg_triple_provenance, KG_PROVENANCE_SQL),
-    # --- core KG / dedup / ANN gates (keep in the driver window) ---
+    "kg_snapshot_diff": (kg_snapshot_diff, KG_SNAPSHOT_DIFF_SQL),
+    "kwic_concordance": (kwic_concordance, KWIC_SQL),
+    # --- core KG / dedup / ANN gates (keep in the driver window;
+    # kg_extract_text / kg_triples FIRST — they are the two north-rule
+    # invariants (byte-identical text, exact triples) and must hold a
+    # driver-green row in every round) ---
+    "kg_extract_text": (kg_extract_text, KG_EXTRACT_SQL),
+    "kg_triples": (kg_triples, KG_TRIPLES_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
@@ -4599,8 +4730,6 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "safety_filter_counts": (safety_filter_counts, SAFETY_FILTER_SQL),
     "kg_client_topk": (kg_client_topk, KG_CLIENT_SQL),
     "embedding_neardup_pairs": (embedding_neardup_pairs, EMB_NEARDUP_SQL),
-    "kg_extract_text": (kg_extract_text, KG_EXTRACT_SQL),
-    "kg_triples": (kg_triples, KG_TRIPLES_SQL),
     "skew_salted_agg": (skew_salted_agg, SKEW_AGG_SQL),
     "skew_salted_join": (skew_salted_join, SKEW_JOIN_SQL),
     # shares the brute-force oracle: candidate recall is exact at the

@@ -115,6 +115,8 @@ def test_every_query_is_oracled():
         "embedding_dim_correlations",
         "kg_incremental_merge",
         "kg_triple_provenance",
+        "kg_snapshot_diff",
+        "kwic_concordance",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -485,3 +485,27 @@ def test_provenance_rollup_join_free_algebraic(spark):
               "ShuffledHashJoin"):
         assert j not in p, j
     assert "partial_min" in p and "partial_max" in p
+
+
+def test_snapshot_diff_full_outer_of_aggregates(spark):
+    """The snapshot diff, like the merge, must join two ALREADY
+    AGGREGATED edge tables full-outer — raw triples never cross the
+    join, and the status classification is a projection."""
+    p = _plan(spark, "kg_snapshot_diff")
+    assert "FullOuter" in p
+    assert "partial_count" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_kwic_positions_found_in_row_no_token_explode(spark):
+    """KWIC must locate occurrences INSIDE the row (higher-order filter
+    over a sequence) so only matches fan out — never a join, never a
+    per-token corpus explode feeding a shuffle (no hash exchange at
+    all: the only exchange is the final presentation sort)."""
+    p = _plan(spark, "kwic_concordance")
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct",
+              "ShuffledHashJoin"):
+        assert j not in p, j
+    assert "hashpartitioning" not in p

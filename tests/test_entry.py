@@ -183,3 +183,31 @@ def test_chunk_dedup_short_docs_edge(spark, tmp_path):
         for r in con.execute(eq.CHUNK_DEDUP_SQL).fetchall()
     }
     assert d_rows == s_rows
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "token_entropy_by_source",
+        "pmi_bigrams_topk",
+        "events_trend_slopes",
+        "embedding_dim_correlations",
+        "cluster_agreement_metrics",
+    ],
+)
+def test_float_gates_partitioning_invariant(spark, name):
+    """The float-valued analytics gates sum doubles whose add order
+    varies with partitioning; their ROUNDED outputs must not. Run each
+    gate under three shuffle-partition settings and require identical
+    canonical rowsets — a rounding-boundary instability surfaces here
+    before it flakes the driver's correctness round."""
+    fn = entry_mod.queries()[name]
+    sf = "/root/testdata/sf0.001"
+    results = []
+    for parts in ("2", "32", "7"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        df = fn(spark, sf)
+        cols = [c.lower() for c in df.columns]
+        results.append(_rowset(cols, [tuple(r) for r in df.collect()]))
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert results[0] == results[1] == results[2]

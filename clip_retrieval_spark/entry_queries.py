@@ -4642,6 +4642,73 @@ SELECT doc_id, pos::INT AS pos,
 FROM hits ORDER BY doc_id, pos
 """
 
+_ZIPF_RANKS = 100
+
+
+def zipf_fit_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf-law fit per source: OLS slope of log2(freq) against
+    log2(rank) over the top-100 token ranks — natural text sits near
+    slope -1; templated or keyword-stuffed sources flatten or steepen
+    the curve, making this a single-number corpus-authenticity
+    diagnostic (complementing entropy, which ignores rank structure).
+
+    Scale shape: token counts are algebraic; the per-source rank window
+    prunes to 100 rows per source BEFORE the regression
+    (WindowGroupLimit — the full vocabulary is never sorted end-to-end);
+    regr_slope/r2 decompose into partial sums. One keyed shuffle, rank
+    ties broken (count DESC, token ASC) so both engines rank
+    identically."""
+    docs = _t(spark, sf, "documents").select("source", "text")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnt = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _ZIPF_RANKS)
+        .select(
+            "source",
+            F.log2(F.col("r").cast("double")).alias("x"),
+            F.log2(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_ranks"),
+            F.round(F.regr_slope("y", "x"), 4).alias("zipf_slope"),
+            F.round(F.regr_r2("y", "x"), 4).alias("r2"),
+        )
+        .orderBy("source")
+    )
+
+
+ZIPF_FIT_SQL = f"""
+WITH cnt AS (
+  SELECT source, tok, COUNT(*)::BIGINT AS c
+  FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY source, tok
+),
+ranked AS (
+  SELECT source,
+         log2(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY c DESC, tok)) AS x,
+         log2(c) AS y,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, tok) AS r
+  FROM cnt
+)
+SELECT source, COUNT(*)::BIGINT AS n_ranks,
+       ROUND(regr_slope(y, x), 4) AS zipf_slope,
+       ROUND(regr_r2(y, x), 4) AS r2
+FROM ranked WHERE r <= {_ZIPF_RANKS}
+GROUP BY source ORDER BY source
+"""
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -4712,6 +4779,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "kg_triple_provenance": (kg_triple_provenance, KG_PROVENANCE_SQL),
     "kg_snapshot_diff": (kg_snapshot_diff, KG_SNAPSHOT_DIFF_SQL),
     "kwic_concordance": (kwic_concordance, KWIC_SQL),
+    "zipf_fit_by_source": (zipf_fit_by_source, ZIPF_FIT_SQL),
     # --- core KG / dedup / ANN gates (keep in the driver window;
     # kg_extract_text / kg_triples FIRST — they are the two north-rule
     # invariants (byte-identical text, exact triples) and must hold a

@@ -117,6 +117,7 @@ def test_every_query_is_oracled():
         "kg_triple_provenance",
         "kg_snapshot_diff",
         "kwic_concordance",
+        "zipf_fit_by_source",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):
@@ -193,6 +194,7 @@ def test_chunk_dedup_short_docs_edge(spark, tmp_path):
         "events_trend_slopes",
         "embedding_dim_correlations",
         "cluster_agreement_metrics",
+        "zipf_fit_by_source",
     ],
 )
 def test_float_gates_partitioning_invariant(spark, name):

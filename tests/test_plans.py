@@ -509,3 +509,15 @@ def test_kwic_positions_found_in_row_no_token_explode(spark):
               "ShuffledHashJoin"):
         assert j not in p, j
     assert "hashpartitioning" not in p
+
+
+def test_zipf_fit_ranked_window_prune_then_algebraic_regression(spark):
+    """The Zipf fit must prune to the top-100 ranks per source inside
+    the window (WindowGroupLimit — the vocabulary is never fully
+    sorted) and fit with the algebraic regr_* partials; no joins."""
+    p = _plan(spark, "zipf_fit_by_source")
+    assert "WindowGroupLimit" in p
+    assert "partial_regr_slope" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in p, j

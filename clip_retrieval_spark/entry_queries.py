@@ -4710,6 +4710,297 @@ GROUP BY source ORDER BY source
 """
 
 
+_SNM_WINDOW = 3
+
+
+def er_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking: the classic second blocking
+    strategy next to LSH (blocking_key_stats profiles the first).
+    Documents are keyed by a normalized prefix (lowercased first 24
+    chars, non-alphanumerics stripped), sorted within a 2-char block,
+    and every record is paired with its next `_SNM_WINDOW` neighbors
+    in sort order; pairs carry the Levenshtein distance of their keys
+    as the match-score feature. Sorted-neighborhood catches typo-class
+    duplicates whose token sets diverge (Jaccard/LSH-blind) because
+    edit-distance neighbors are ADJACENT after sorting.
+
+    Scale shape: the window partitions by the 2-char block prefix, so
+    the sort is a bounded per-block sort (never a global single-
+    partition window) and the candidate set is <= w x N pairs by
+    construction — no all-pairs. Pairs crossing a block boundary are
+    missed by design (the standard multi-pass SNM answer is a second
+    run with a rotated key); the lead() scan is streaming within each
+    block, so a hot prefix costs O(block) memory, not O(block^2)."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.regexp_replace(
+                F.lower(F.substring("text", 1, 24)), "[^a-z0-9]", ""
+            ).alias("skey"),
+        )
+        .filter(F.length("skey") >= 2)
+        .withColumn("blk", F.substring("skey", 1, 2))
+    )
+    w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    led = keyed.select(
+        "doc_id",
+        "skey",
+        *[
+            F.lead(c, i).over(w).alias(f"{a}{i}")
+            for i in range(1, _SNM_WINDOW + 1)
+            for a, c in (("b", "doc_id"), ("k", "skey"))
+        ],
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("gap"),
+                F.col(f"b{i}").alias("b"),
+                F.col(f"k{i}").alias("bkey"),
+            )
+            for i in range(1, _SNM_WINDOW + 1)
+        ]
+    )
+    return (
+        led.select("doc_id", "skey", F.explode(nbrs).alias("nb"))
+        .filter(F.col("nb.b").isNotNull())
+        .select(
+            F.col("doc_id").alias("a"),
+            F.col("nb.b").alias("b"),
+            F.col("nb.gap").cast("int").alias("gap"),
+            F.levenshtein("skey", F.col("nb.bkey")).alias("lev"),
+        )
+        .orderBy("a", "gap")
+    )
+
+
+ER_SNM_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         regexp_replace(lower(substr(text, 1, 24)),
+                        '[^a-z0-9]', '', 'g') AS skey
+  FROM documents
+),
+blocked AS (
+  SELECT doc_id, skey, substr(skey, 1, 2) AS blk
+  FROM keyed WHERE length(skey) >= 2
+),
+led AS (
+  SELECT doc_id, skey,
+         LEAD(doc_id, 1) OVER w AS b1, LEAD(skey, 1) OVER w AS k1,
+         LEAD(doc_id, 2) OVER w AS b2, LEAD(skey, 2) OVER w AS k2,
+         LEAD(doc_id, 3) OVER w AS b3, LEAD(skey, 3) OVER w AS k3
+  FROM blocked
+  WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)
+)
+SELECT a, b, gap, lev FROM (
+  SELECT doc_id AS a, b1 AS b, 1::INT AS gap,
+         levenshtein(skey, k1)::INT AS lev FROM led
+  UNION ALL
+  SELECT doc_id, b2, 2::INT, levenshtein(skey, k2)::INT FROM led
+  UNION ALL
+  SELECT doc_id, b3, 3::INT, levenshtein(skey, k3)::INT FROM led
+)
+WHERE b IS NOT NULL
+ORDER BY a, gap
+"""
+
+
+_NEG_PER_EDGE = 2
+
+
+def link_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling over the canonical KG edges —
+    the training-data counterpart of link_prediction_topk: for every
+    positive (subj, obj) edge, `_NEG_PER_EDGE` corrupted-tail
+    negatives (subj, obj') with obj' drawn pseudo-randomly from the
+    entity vocabulary by an md5 hash of (subj, obj, k), then
+    anti-joined against the positive set and self-loops dropped so no
+    "negative" is secretly true. Hash-based, not RNG-based: the same
+    (pos, neg) pairs come out across runs, partitionings, retries,
+    and engines — the reproducibility a training pipeline needs.
+
+    Scale shape: the entity-rank map is built once over the
+    POST-canonicalization vocabulary (orders smaller than the corpus;
+    at 10^12 docs the row_number build is a one-off sort-based dense
+    index, the same cost class as IVF centroid training), the vocab
+    SIZE joins as a broadcast scalar, candidate ranks are a narrow
+    per-row hash, and the rank->entity resolution plus the positive
+    anti-join are keyed equi-joins — no all-pairs, no RNG state."""
+    edges = kg_nodes_edges(spark, sf).localCheckpoint(eager=True)
+    pos = edges.select(
+        F.col("subj_surface").alias("a"),
+        F.col("obj_surface").alias("b"),
+    ).distinct()
+    nodes = (
+        pos.select(F.col("a").alias("node"))
+        .union(pos.select("b"))
+        .distinct()
+    )
+    ranked = nodes.withColumn(
+        "nrank", F.row_number().over(Window.orderBy("node")) - 1
+    )
+    n_nodes = ranked.groupBy().agg(F.count("*").alias("n_nodes"))
+    cand = (
+        pos.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "a",
+            "b",
+            "n_nodes",
+            F.explode(
+                F.array(
+                    *[F.lit(i) for i in range(1, _NEG_PER_EDGE + 1)]
+                )
+            ).alias("neg_idx"),
+        )
+        .withColumn(
+            "nrank",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", "a", "b", "neg_idx")), 1, 13
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n_nodes"),
+        )
+    )
+    neg = cand.join(ranked, "nrank").select(
+        "a", F.col("neg_idx").cast("int").alias("neg_idx"),
+        F.col("node").alias("neg_obj"),
+    )
+    return (
+        neg.join(
+            pos.withColumnRenamed("b", "neg_obj"),
+            ["a", "neg_obj"],
+            "left_anti",
+        )
+        .filter(F.col("neg_obj") != F.col("a"))
+        .select(F.col("a").alias("subj"), "neg_idx", "neg_obj")
+        .orderBy("subj", "neg_idx", "neg_obj")
+    )
+
+
+LINK_NEG_SQL = f"""
+WITH pos AS (
+  SELECT DISTINCT 'Entity' || (doc_id % 40)       AS a,
+                  'Entity' || ((doc_id * 7) % 40) AS b
+  FROM documents
+),
+nodes AS (
+  SELECT node, ROW_NUMBER() OVER (ORDER BY node) - 1 AS nrank
+  FROM (SELECT a AS node FROM pos UNION SELECT b FROM pos)
+),
+nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+cand AS (
+  SELECT a, b, k.neg_idx,
+         list_reduce(
+           list_transform(range(1, 14),
+             i -> strpos('0123456789abcdef',
+                         substr(md5(a || '#' || b || '#'
+                                    || k.neg_idx::VARCHAR), i, 1)) - 1),
+           (acc, x) -> acc * 16 + x) % nn.n_nodes AS nrank
+  FROM pos, nn,
+       (VALUES (1), (2)) AS k(neg_idx)
+),
+neg AS (
+  SELECT c.a, c.neg_idx::INT AS neg_idx, n.node AS neg_obj
+  FROM cand c JOIN nodes n USING (nrank)
+)
+SELECT neg.a AS subj, neg_idx, neg_obj
+FROM neg
+ANTI JOIN pos ON neg.a = pos.a AND neg.neg_obj = pos.b
+WHERE neg_obj <> neg.a
+ORDER BY subj, neg_idx, neg_obj
+"""
+
+
+_HIST_BIN_W = 10.0
+
+
+def hist_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-bin histogram quantile sketch: per-event-type p50/p90/p99
+    estimated as the lower edge of the first histogram bin whose
+    cumulative count reaches ceil(p*n) — the 10^12-row swap-in for the
+    exact ntile gates (events_value_deciles / quality_percentiles),
+    with error bounded by the bin width (tested vs the exact
+    percentiles). Same role the count-min gate plays for exact heavy
+    hitters: an algebraic, mergeable approximation whose state is
+    O(bins), not O(rows).
+
+    Scale shape: ONE full-data pass — the (type, bin) count is
+    algebraic (map-side combine absorbs the raw stream), and
+    everything after runs on the HISTOGRAM (~50 bins/type), where the
+    cumulative window and final agg are noise. Exact ntile needs a
+    per-type sort of all rows; this never sorts raw data at all."""
+    ev = _t(spark, sf, "events").select("event_type", "value")
+    hist = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(_HIST_BIN_W))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("event_type"))
+    )
+
+    def _est(p: float):
+        return F.round(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("n")),
+                    F.col("bin") * F.lit(_HIST_BIN_W),
+                )
+            ),
+            2,
+        )
+
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            _est(0.5).alias("p50_est"),
+            _est(0.9).alias("p90_est"),
+            _est(0.99).alias("p99_est"),
+        )
+        .orderBy("event_type")
+    )
+
+
+HIST_QUANTILE_SQL = f"""
+WITH hist AS (
+  SELECT event_type,
+         floor(value / {_HIST_BIN_W})::BIGINT AS bin,
+         COUNT(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type, MAX(n)::BIGINT AS n,
+       ROUND(MIN(CASE WHEN cum >= ceil(0.5 * n)
+                      THEN bin * {_HIST_BIN_W}::DOUBLE END), 2) AS p50_est,
+       ROUND(MIN(CASE WHEN cum >= ceil(0.9 * n)
+                      THEN bin * {_HIST_BIN_W}::DOUBLE END), 2) AS p90_est,
+       ROUND(MIN(CASE WHEN cum >= ceil(0.99 * n)
+                      THEN bin * {_HIST_BIN_W}::DOUBLE END), 2) AS p99_est
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4780,6 +5071,9 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "kg_snapshot_diff": (kg_snapshot_diff, KG_SNAPSHOT_DIFF_SQL),
     "kwic_concordance": (kwic_concordance, KWIC_SQL),
     "zipf_fit_by_source": (zipf_fit_by_source, ZIPF_FIT_SQL),
+    "er_snm_pairs": (er_snm_pairs, ER_SNM_SQL),
+    "link_negative_samples": (link_negative_samples, LINK_NEG_SQL),
+    "hist_quantile_sketch": (hist_quantile_sketch, HIST_QUANTILE_SQL),
     # --- core KG / dedup / ANN gates (keep in the driver window;
     # kg_extract_text / kg_triples FIRST — they are the two north-rule
     # invariants (byte-identical text, exact triples) and must hold a

@@ -118,6 +118,14 @@ def test_every_query_is_oracled():
         "kg_snapshot_diff",
         "kwic_concordance",
         "zipf_fit_by_source",
+        "er_snm_pairs",
+        "link_negative_samples",
+        "hist_quantile_sketch",
+        # rotated out of the driver window in r5 — second-scale cover
+        # replaces their driver row
+        "token_stats",
+        "doc_fingerprints",
+        "ann_topk_bruteforce",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

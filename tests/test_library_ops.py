@@ -1154,3 +1154,103 @@ def test_merge_weighted_edges_algebra(spark):
         for r in merge_weighted_edges(delta, base).collect()
     }
     assert swapped == got
+
+
+def test_hist_quantile_error_bounded_by_bin_width(spark):
+    """The histogram sketch's contract: each estimated percentile sits
+    within one bin width of the exact (interpolated) percentile — the
+    bound that justifies swapping it for exact ntile at 10^12 rows."""
+    from clip_retrieval_spark.entry_queries import (
+        _HIST_BIN_W,
+        hist_quantile_sketch,
+    )
+    from pyspark.sql import functions as F
+
+    sfd = "/root/testdata/sf0.01"
+    est = {
+        r.event_type: (r.p50_est, r.p90_est, r.p99_est)
+        for r in hist_quantile_sketch(spark, sfd).collect()
+    }
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in spark.read.parquet(f"{sfd}/events.parquet")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for et in est:
+        for e, x in zip(est[et], exact[et]):
+            assert abs(e - x) <= _HIST_BIN_W, (et, e, x)
+
+
+def test_negative_samples_disjoint_and_partition_invariant(spark):
+    """Negative-sampling contract: no sampled negative is a true edge
+    or a self-loop, every positive subject contributes, and the exact
+    sample set is invariant to shuffle partitioning (hash-derived, not
+    RNG-derived)."""
+    from clip_retrieval_spark.entry_queries import (
+        kg_nodes_edges,
+        link_negative_samples,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    pos = {
+        (r.subj_surface, r.obj_surface)
+        for r in kg_nodes_edges(spark, sfd)
+        .select("subj_surface", "obj_surface")
+        .distinct()
+        .collect()
+    }
+    neg = [tuple(r) for r in link_negative_samples(spark, sfd).collect()]
+    assert neg, "sampling produced no negatives"
+    for subj, _, neg_obj in neg:
+        assert (subj, neg_obj) not in pos
+        assert neg_obj != subj
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        neg2 = [
+            tuple(r) for r in link_negative_samples(spark, sfd).collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert sorted(neg) == sorted(neg2)
+
+
+def test_snm_pairs_are_block_local_and_duplicate_free(spark):
+    """Sorted-neighborhood contract: every candidate pair shares the
+    2-char block prefix, appears once, and the pair count equals the
+    closed form sum(block: w*size - w*(w+1)/2 clipped) for window w —
+    i.e. lead() adjacency produced exactly the promised candidates."""
+    import re as _re
+
+    from clip_retrieval_spark.entry_queries import _SNM_WINDOW, er_snm_pairs
+
+    sfd = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: _re.sub(r"[^a-z0-9]", "", r.text[:24].lower())
+        for r in spark.read.parquet(f"{sfd}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    keys = {d: k for d, k in docs.items() if len(k) >= 2}
+    pairs = [tuple(r) for r in er_snm_pairs(spark, sfd).collect()]
+    assert len(pairs) == len(set(pairs))
+    for a, b, gap, lev in pairs:
+        assert keys[a][:2] == keys[b][:2], (a, b)
+        assert 1 <= gap <= _SNM_WINDOW
+
+    from collections import Counter
+
+    sizes = Counter(k[:2] for k in keys.values())
+    expected = sum(
+        sum(max(0, n - i) for i in range(1, _SNM_WINDOW + 1))
+        for n in sizes.values()
+    )
+    assert len(pairs) == expected

@@ -521,3 +521,37 @@ def test_zipf_fit_ranked_window_prune_then_algebraic_regression(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in p, j
+
+
+def test_snm_window_is_block_partitioned(spark):
+    """Sorted-neighborhood blocking must sort WITHIN 2-char blocks
+    (window partitioned by blk — a bounded per-block sort), never as
+    a global single-partition window, and must stay join-free: the
+    candidate pairs come from lead() adjacency, not a self-join."""
+    p = _plan(spark, "er_snm_pairs")
+    assert re.search(r"hashpartitioning\(blk", p), p
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in p, j
+
+
+def test_negative_sampling_broadcasts_vocab_size(spark):
+    """Negative sampling must join the vocabulary SIZE as a broadcast
+    scalar (never shuffling the edge set against it) and screen false
+    negatives with a left-anti equi-join."""
+    p = _plan(spark, "link_negative_samples")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_hist_quantile_single_algebraic_pass(spark):
+    """The histogram quantile sketch must reduce the raw event stream
+    in ONE algebraic (type, bin) count — map-side combine visible as
+    partial_count — with the cumulative window and the final agg
+    running on the ~50-bins-per-type histogram, and no joins at all."""
+    p = _plan(spark, "hist_quantile_sketch")
+    assert "partial_count" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in p, j

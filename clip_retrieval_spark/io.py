@@ -275,3 +275,194 @@ def clustered_write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot store: snapshot-isolated reads, time travel, rollback
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SnapshotStore:
+    """Iceberg-snapshot semantics over plain parquet (same stand-in
+    rationale as TableStore, which covers the write-then-commit RESUME
+    contract; this class covers the snapshot READ contract Iceberg
+    gives for free):
+
+    * every commit writes its data files into an immutable
+      ``{table}/snap-{id}/`` directory, then publishes an atomic JSON
+      manifest (`os.rename`) under ``{table}/_snapshots/`` listing the
+      FULL set of live data dirs for that snapshot;
+    * readers resolve the manifest chain, never the directory listing —
+      a crash between data write and manifest publish leaves an orphan
+      dir that no reader ever sees (snapshot isolation);
+    * time travel is ``read(table, as_of=<id>)``; rollback is a new
+      metadata-only manifest whose dir set equals the old snapshot's
+      (O(1), no data moves — exactly Iceberg's rollback);
+    * ``expire_snapshots`` drops manifests beyond a retention window
+      and GCs data dirs no retained snapshot references (including
+      crash orphans).
+
+    Manifests are driver-side JSON, one per commit — the stand-in for
+    Iceberg's avro manifest lists; at 10^12 rows the per-commit
+    manifest stays O(dirs-per-commit), and the chain length is bounded
+    by ``expire_snapshots``. Single-writer per table (one driver owns a
+    run — TableStore's standing invariant); readers are isolated at
+    any concurrency."""
+
+    spark: SparkSession
+    root: str
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _meta_dir(self, table: str) -> str:
+        return os.path.join(self.path(table), "_snapshots")
+
+    # -- manifest chain --------------------------------------------------
+
+    def snapshots(self, table: str) -> list[dict]:
+        """All published manifests, oldest first."""
+        mdir = self._meta_dir(table)
+        if not os.path.isdir(mdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                with open(os.path.join(mdir, name), encoding="utf-8") as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["snapshot_id"])
+
+    def current_snapshot_id(self, table: str) -> int | None:
+        snaps = self.snapshots(table)
+        return snaps[-1]["snapshot_id"] if snaps else None
+
+    def _publish(
+        self,
+        table: str,
+        operation: str,
+        dirs: list[str],
+        rows_added: int,
+    ) -> int:
+        snaps = self.snapshots(table)
+        sid = (snaps[-1]["snapshot_id"] + 1) if snaps else 1
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": snaps[-1]["snapshot_id"] if snaps else None,
+            "operation": operation,
+            "dirs": sorted(dirs),
+            "rows_added": int(rows_added),
+            "ts_ms": int(time.time() * 1000),
+        }
+        mdir = self._meta_dir(table)
+        os.makedirs(mdir, exist_ok=True)
+        final = os.path.join(mdir, f"manifest-{sid:08d}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, final)  # atomic publish: the commit point
+        return sid
+
+    def _resolve(self, table: str, as_of: int | None) -> dict:
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise ValueError(f"table {table!r} has no snapshots")
+        if as_of is None:
+            return snaps[-1]
+        for m in snaps:
+            if m["snapshot_id"] == as_of:
+                return m
+        raise ValueError(
+            f"table {table!r} has no snapshot {as_of} "
+            f"(have {[m['snapshot_id'] for m in snaps]})"
+        )
+
+    # -- commits ----------------------------------------------------------
+
+    def _write_snap_dir(self, df: DataFrame, table: str, sid_hint: int) -> str:
+        d = os.path.join(self.path(table), f"snap-{sid_hint:08d}")
+        df.write.mode("overwrite").parquet(d)
+        return d
+
+    def _footer_rows(self, d: str) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(d):
+            for name in files:
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, name)
+                    ).metadata.num_rows
+        return total
+
+    def append(self, df: DataFrame, table: str) -> int:
+        """Commit ``df`` as a new snapshot = previous dirs + one new
+        immutable dir. Returns the snapshot id."""
+        cur = self.current_snapshot_id(table) or 0
+        d = self._write_snap_dir(df, table, cur + 1)
+        prev = self.snapshots(table)
+        dirs = (prev[-1]["dirs"] if prev else []) + [d]
+        return self._publish(table, "append", dirs, self._footer_rows(d))
+
+    def overwrite(self, df: DataFrame, table: str) -> int:
+        """Commit ``df`` as a full replacement (the MERGE/compaction
+        commit shape): the new snapshot references ONLY the new dir;
+        old dirs stay readable via time travel until expired."""
+        cur = self.current_snapshot_id(table) or 0
+        d = self._write_snap_dir(df, table, cur + 1)
+        return self._publish(table, "overwrite", [d], self._footer_rows(d))
+
+    def rollback(self, table: str, snapshot_id: int) -> int:
+        """Metadata-only rollback: publish a new snapshot whose dir set
+        equals ``snapshot_id``'s. No data moves; the rolled-past
+        snapshots stay time-travelable until expired."""
+        target = self._resolve(table, snapshot_id)
+        return self._publish(table, "rollback", target["dirs"], 0)
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, table: str, as_of: int | None = None) -> DataFrame:
+        """Snapshot-isolated read: current snapshot, or time travel to
+        ``as_of``. Only manifest-listed dirs are scanned — in-flight or
+        crashed writes are invisible."""
+        m = self._resolve(table, as_of)
+        if not m["dirs"]:
+            raise ValueError(
+                f"snapshot {m['snapshot_id']} of {table!r} is empty"
+            )
+        return self.spark.read.parquet(*m["dirs"])
+
+    # -- retention ------------------------------------------------------------
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` manifests and delete
+        every data dir no retained snapshot references — including
+        orphan dirs from crashes between data write and manifest
+        publish. Returns the deleted dirs."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            return []
+        keep = snaps[-max(keep_last, 1):]
+        live = {d for m in keep for d in m["dirs"]}
+        mdir = self._meta_dir(table)
+        keep_ids = {m["snapshot_id"] for m in keep}
+        for m in snaps:
+            if m["snapshot_id"] not in keep_ids:
+                os.remove(
+                    os.path.join(
+                        mdir, f"manifest-{m['snapshot_id']:08d}.json"
+                    )
+                )
+        dropped = []
+        tdir = self.path(table)
+        for name in sorted(os.listdir(tdir)):
+            d = os.path.join(tdir, name)
+            if (
+                name.startswith("snap-")
+                and os.path.isdir(d)
+                and d not in live
+            ):
+                shutil.rmtree(d)
+                dropped.append(d)
+        return dropped

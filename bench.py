@@ -56,6 +56,14 @@ BENCH_QUERIES = [
     # topk_tokens_by_source (same upstream tokenization, and the sketch
     # path is the one that matters at scale)
     "topk_tokens_sketch",
+    # r5 wave 8: SNM is a block-partitioned window over the corpus and
+    # the histogram sketch is the one-pass grouped-percentile swap-in.
+    # link_negative_samples is gate-only per the link_prediction_topk
+    # precedent: measured 14.1 s of which ~95% is its kg_nodes_edges
+    # upstream (the full stage-1..4 DAG) — benching it would
+    # double-count a plan the KG entries already time
+    "er_snm_pairs",
+    "hist_quantile_sketch",
     # The r5 KG-consumer gates are gate-only, per the
     # link_prediction_topk precedent: doc_bfs_distances' wall is ~85%
     # the same dedup_jaccard_pairs upstream doc_communities_lpa
@@ -161,7 +169,9 @@ def main() -> None:
                                     "semantic_dedup_keep",
                                     "lm_perplexity",
                                     # added after r3 (r5):
-                                    "topk_tokens_sketch"}
+                                    "topk_tokens_sketch",
+                                    "er_snm_pairs",
+                                    "hist_quantile_sketch"}
     total_r03 = round(
         sum(v for k, v in timings.items() if k in r03_set), 3
     )

@@ -5001,6 +5001,79 @@ FROM cum GROUP BY event_type ORDER BY event_type
 """
 
 
+_RAG_CHUNK = 32
+_RAG_STRIDE = 24
+
+
+def chunk_windows_rag(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping token-window chunking — the retrieval/embedding
+    prep step (RAG chunking): each document becomes windows of
+    `_RAG_CHUNK` tokens at stride `_RAG_STRIDE` (25% overlap so no
+    span is split across a boundary without also appearing whole in a
+    neighbor). The chunk text, index, and token count feed the
+    embedding stage (operators/embed.py) and the chunk-level dedup
+    gates (chunk_dedup_ratio) downstream.
+
+    Scale shape: pure JVM higher-order functions — tokenize once,
+    window starts via sequence(), slice per start — in ONE narrow
+    projection + explode whose fanout is n_tokens/stride per doc
+    (bounded, data-proportional); no shuffle at all in the transform
+    (the gate's orderBy is presentation-only). A hub doc costs its own
+    token count, nothing global."""
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),
+    ).filter(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.size("toks") - 1,
+        F.lit(_RAG_STRIDE),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.slice("toks", F.col("start") + 1, _RAG_CHUNK).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("w").cast("int").alias("n_chunk_toks"),
+            F.array_join("w", " ").alias("chunk"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+),
+nonempty AS (SELECT * FROM toks WHERE len(toks) > 0),
+starts AS (
+  SELECT doc_id, toks, u.start,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY u.start) - 1
+           AS chunk_idx
+  FROM nonempty, UNNEST(range(0, len(toks), {_RAG_STRIDE})) AS u(start)
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       len(list_slice(toks, start + 1,
+                      start + {_RAG_CHUNK}))::INT AS n_chunk_toks,
+       array_to_string(list_slice(toks, start + 1,
+                                  start + {_RAG_CHUNK}), ' ') AS chunk
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5074,6 +5147,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "er_snm_pairs": (er_snm_pairs, ER_SNM_SQL),
     "link_negative_samples": (link_negative_samples, LINK_NEG_SQL),
     "hist_quantile_sketch": (hist_quantile_sketch, HIST_QUANTILE_SQL),
+    "chunk_windows_rag": (chunk_windows_rag, CHUNK_WINDOWS_SQL),
     # --- core KG / dedup / ANN gates (keep in the driver window;
     # kg_extract_text / kg_triples FIRST — they are the two north-rule
     # invariants (byte-identical text, exact triples) and must hold a

@@ -413,6 +413,20 @@ class SnapshotStore:
         d = self._write_snap_dir(df, table, cur + 1)
         return self._publish(table, "overwrite", [d], self._footer_rows(d))
 
+    def compact(self, table: str, n_files: int) -> int:
+        """Small-file compaction (Iceberg's rewrite_data_files): read
+        the current snapshot, rewrite it as ``n_files`` files in one
+        new dir, commit as a replacement snapshot. Readers see either
+        the old file set or the new one, never a mix; the uncompacted
+        snapshot stays time-travelable until expired. At cluster scale
+        this is THE answer to the many-small-appends dump cadence —
+        each incremental commit adds a few files, and a periodic
+        compaction keeps scan task counts bounded."""
+        cur = self.read(table).repartition(n_files)
+        sid = self.current_snapshot_id(table)
+        d = self._write_snap_dir(cur, table, sid + 1)
+        return self._publish(table, "compact", [d], self._footer_rows(d))
+
     def rollback(self, table: str, snapshot_id: int) -> int:
         """Metadata-only rollback: publish a new snapshot whose dir set
         equals ``snapshot_id``'s. No data moves; the rolled-past

@@ -121,11 +121,13 @@ def test_every_query_is_oracled():
         "er_snm_pairs",
         "link_negative_samples",
         "hist_quantile_sketch",
+        "chunk_windows_rag",
         # rotated out of the driver window in r5 — second-scale cover
         # replaces their driver row
         "token_stats",
         "doc_fingerprints",
         "ann_topk_bruteforce",
+        "quality_scores",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

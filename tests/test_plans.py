@@ -555,3 +555,15 @@ def test_hist_quantile_single_algebraic_pass(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in p, j
+
+
+def test_chunk_windows_is_narrow_explode_no_shuffle(spark):
+    """RAG chunking must be ONE narrow projection + explode (fanout
+    n_tokens/stride per doc) — zero joins and zero hash exchanges; the
+    only exchange is the gate's presentation orderBy (range)."""
+    p = _plan(spark, "chunk_windows_rag")
+    assert "Generate" in p  # the posexplode fanout
+    assert "hashpartitioning" not in p, p
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in p, j

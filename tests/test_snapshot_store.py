@@ -90,3 +90,23 @@ def test_read_errors_are_explicit(spark, store):
     store.append(_df(spark, 0, 2), "t")
     with pytest.raises(ValueError, match="no snapshot 7"):
         store.read("t", as_of=7)
+
+
+def test_compact_preserves_rows_and_bounds_files(spark, store):
+    import glob
+
+    for lo in range(0, 50, 10):  # 5 small appends -> many small files
+        store.append(_df(spark, lo, lo + 10), "t")
+    sid = store.compact("t", n_files=2)
+    assert store.snapshots("t")[-1]["operation"] == "compact"
+    assert _vals(store.read("t")) == list(range(50))
+    files = glob.glob(
+        os.path.join(store.path("t"), f"snap-{sid:08d}", "*.parquet")
+    )
+    assert 1 <= len(files) <= 2
+    # pre-compaction snapshot still time-travelable
+    assert _vals(store.read("t", as_of=3)) == list(range(30))
+    # expiry then GCs the 5 small dirs
+    dropped = store.expire_snapshots("t", keep_last=1)
+    assert len(dropped) == 5
+    assert _vals(store.read("t")) == list(range(50))

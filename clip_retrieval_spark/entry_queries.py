@@ -5074,6 +5074,143 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def events_anomaly_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust-stats anomaly detection over the event stream: per event
+    type, flag days whose event count deviates from the type's median
+    daily count by more than 3 median-absolute-deviations — the
+    pipeline-monitoring primitive (a crawler source going dark or a
+    bot flood both show up here before they poison downstream stats;
+    median/MAD, unlike mean/stddev, don't let the anomaly mask
+    itself). Ties in the interpolated median are engine-identical
+    (linear interpolation in both Spark percentile and DuckDB
+    quantile_cont).
+
+    Scale shape: the full-data pass is ONE algebraic (type, day)
+    count; median and MAD are computed over the DAILY table (days x
+    types — tiny) and join back broadcast. Raw events are never
+    sorted or shuffled twice."""
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("cnt")
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(cnt, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("med", 2).alias("med"),
+            F.round("mad", 2).alias("mad"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(cnt, 0.5) AS med
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.cnt, m.med,
+         abs(d.cnt - m.med) AS adev
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT dev.event_type, dev.day::VARCHAR AS day, dev.cnt,
+       ROUND(dev.med, 2) AS med, ROUND(mad.mad, 2) AS mad
+FROM dev JOIN mad USING (event_type)
+WHERE dev.adev > 3 * mad.mad
+ORDER BY event_type, day
+"""
+
+
+def stats_drift_dumps(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-dump statistical drift: split the event stream into two
+    pseudo-dumps (event_id parity — two crawls of the same source)
+    and compare each event type's volume and value distribution in
+    ONE conditional-aggregation pass: count ratio, mean delta, and a
+    null-rate delta. The dump-acceptance check a 10^12-row ingest
+    runs before merging a new crawl (the drift counterpart of the
+    kg_snapshot_diff edge audit).
+
+    Scale shape: join-free — one algebraic groupBy with count_if/
+    avg(CASE) partials; each dump is a filter inside the aggregate,
+    so the comparison costs one scan regardless of dump count."""
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        "value",
+        (F.col("event_id") % 2 == 0).alias("is_a"),
+    )
+    a = F.col("is_a")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_if(a).cast("long").alias("n_a"),
+            F.count_if(~a).cast("long").alias("n_b"),
+            F.round(
+                F.count_if(a) / F.count_if(~a), 4
+            ).alias("count_ratio"),
+            F.round(
+                F.abs(
+                    F.avg(F.when(a, F.col("value")))
+                    - F.avg(F.when(~a, F.col("value")))
+                ),
+                4,
+            ).alias("mean_delta"),
+            F.round(
+                F.abs(
+                    F.avg(
+                        F.when(a, F.col("value").isNull().cast("int"))
+                    )
+                    - F.avg(
+                        F.when(~a, F.col("value").isNull().cast("int"))
+                    )
+                ),
+                4,
+            ).alias("nullrate_delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STATS_DRIFT_SQL = """
+SELECT event_type,
+       count_if(event_id % 2 = 0)::BIGINT AS n_a,
+       count_if(event_id % 2 = 1)::BIGINT AS n_b,
+       ROUND(count_if(event_id % 2 = 0)::DOUBLE
+             / count_if(event_id % 2 = 1), 4) AS count_ratio,
+       ROUND(abs(avg(CASE WHEN event_id % 2 = 0 THEN value END)
+                 - avg(CASE WHEN event_id % 2 = 1 THEN value END)),
+             4) AS mean_delta,
+       ROUND(abs(avg(CASE WHEN event_id % 2 = 0
+                          THEN (value IS NULL)::INT END)
+                 - avg(CASE WHEN event_id % 2 = 1
+                            THEN (value IS NULL)::INT END)),
+             4) AS nullrate_delta
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5148,6 +5285,8 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "link_negative_samples": (link_negative_samples, LINK_NEG_SQL),
     "hist_quantile_sketch": (hist_quantile_sketch, HIST_QUANTILE_SQL),
     "chunk_windows_rag": (chunk_windows_rag, CHUNK_WINDOWS_SQL),
+    "events_anomaly_days": (events_anomaly_days, EVENTS_ANOMALY_SQL),
+    "stats_drift_dumps": (stats_drift_dumps, STATS_DRIFT_SQL),
     # --- core KG / dedup / ANN gates (keep in the driver window;
     # kg_extract_text / kg_triples FIRST — they are the two north-rule
     # invariants (byte-identical text, exact triples) and must hold a

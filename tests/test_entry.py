@@ -122,12 +122,16 @@ def test_every_query_is_oracled():
         "link_negative_samples",
         "hist_quantile_sketch",
         "chunk_windows_rag",
+        "events_anomaly_days",
+        "stats_drift_dumps",
         # rotated out of the driver window in r5 — second-scale cover
         # replaces their driver row
         "token_stats",
         "doc_fingerprints",
         "ann_topk_bruteforce",
         "quality_scores",
+        "dedup_jaccard_pairs",
+        "lang_id_stopwords",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -567,3 +567,26 @@ def test_chunk_windows_is_narrow_explode_no_shuffle(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in p, j
+
+
+def test_anomaly_days_broadcasts_tiny_stats(spark):
+    """The MAD anomaly gate's only full-data pass is the algebraic
+    (type, day) count; median/MAD tables are days x types sized and
+    must join back BROADCAST — a sort-merge join here would shuffle
+    the daily table pointlessly and, worse, signal the optimizer lost
+    the size information at scale."""
+    p = _plan(spark, "events_anomaly_days")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p
+
+
+def test_stats_drift_is_single_pass_join_free(spark):
+    """Cross-dump drift must be ONE conditional-aggregation pass —
+    both dumps are filters inside the aggregate, so the comparison
+    costs one scan regardless of dump count; zero joins."""
+    p = _plan(spark, "stats_drift_dumps")
+    assert "partial_count" in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in p, j

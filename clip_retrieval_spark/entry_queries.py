@@ -5211,6 +5211,96 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+_OVL_BUCKET = 3600
+
+
+def sessions_overlap_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent-usage analysis: sessionize each user's event stream
+    (30-min gap rule, the events_sessionize logic), then find the 20
+    user pairs with the most total session-overlap seconds — the
+    interval-overlap query class (co-occurrence, co-browsing, audit
+    "who was active while X was active") that a naive range join makes
+    O(n^2).
+
+    Scale shape: operators.intervals.overlap_join quantizes sessions
+    into 1-hour buckets, so candidates meet in a plain EQUI-join on
+    the bucket id (hash-partitioned, AQE-skewable) with fanout
+    duration/width+1 per session — never a nested-loop pair
+    enumeration (plan-asserted). The exact predicate + distinct make
+    the bucketing invisible to results; the final per-pair aggregation
+    is algebraic and TakeOrderedAndProject keeps only the top 20."""
+    from clip_retrieval_spark.operators.intervals import overlap_join
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.col("ts").cast("timestamp").cast("long")
+    gap = ep - F.lag(ep).over(w)
+    ev = (
+        _t(spark, sf, "events")
+        .select("user_id", "event_id", "ts")
+        .withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("ep", ep)
+    )
+    sess = ev.groupBy("user_id", "sess_id").agg(
+        F.min("ep").alias("s"), F.max("ep").alias("e")
+    )
+    pairs = overlap_join(sess, sess, width=_OVL_BUCKET)
+    return (
+        pairs.filter(F.col("l_user_id") < F.col("r_user_id"))
+        .groupBy(
+            F.col("l_user_id").alias("user_a"),
+            F.col("r_user_id").alias("user_b"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_overlaps"),
+            F.sum("overlap_s").cast("long").alias("total_overlap_s"),
+        )
+        .orderBy(F.desc("total_overlap_s"), "user_a", "user_b")
+        .limit(20)
+    )
+
+
+SESSIONS_OVERLAP_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, floor(epoch(ts))::BIGINT AS ep,
+         CASE WHEN floor(epoch(ts))::BIGINT - LAG(floor(epoch(ts))::BIGINT)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ep,
+         SUM(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM g
+),
+sess AS (
+  SELECT user_id, sess_id, MIN(ep) AS s, MAX(ep) AS e
+  FROM numbered GROUP BY 1, 2
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       COUNT(*)::BIGINT AS n_overlaps,
+       SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s))::BIGINT
+         AS total_overlap_s
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+GROUP BY 1, 2
+ORDER BY total_overlap_s DESC, user_a, user_b
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5287,6 +5377,10 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "chunk_windows_rag": (chunk_windows_rag, CHUNK_WINDOWS_SQL),
     "events_anomaly_days": (events_anomaly_days, EVENTS_ANOMALY_SQL),
     "stats_drift_dumps": (stats_drift_dumps, STATS_DRIFT_SQL),
+    "sessions_overlap_pairs": (
+        sessions_overlap_pairs,
+        SESSIONS_OVERLAP_SQL,
+    ),
     # --- core KG / dedup / ANN gates (keep in the driver window;
     # kg_extract_text / kg_triples FIRST — they are the two north-rule
     # invariants (byte-identical text, exact triples) and must hold a

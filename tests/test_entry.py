@@ -124,6 +124,7 @@ def test_every_query_is_oracled():
         "chunk_windows_rag",
         "events_anomaly_days",
         "stats_drift_dumps",
+        "sessions_overlap_pairs",
         # rotated out of the driver window in r5 — second-scale cover
         # replaces their driver row
         "token_stats",
@@ -132,6 +133,7 @@ def test_every_query_is_oracled():
         "quality_scores",
         "dedup_jaccard_pairs",
         "lang_id_stopwords",
+        "dedup_simhash",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

@@ -1254,3 +1254,40 @@ def test_snm_pairs_are_block_local_and_duplicate_free(spark):
         for n in sizes.values()
     )
     assert len(pairs) == expected
+
+
+def test_overlap_join_matches_bruteforce(spark):
+    """Bucketized overlap join == quadratic reference on random
+    intervals, for bucket widths smaller, comparable to, and larger
+    than the interval lengths (correctness must not depend on w)."""
+    import random
+
+    from clip_retrieval_spark.operators.intervals import overlap_join
+
+    rng = random.Random(42)
+    ivs = []
+    for i in range(120):
+        s = rng.randrange(0, 5000)
+        ivs.append((i, s, s + rng.randrange(0, 400)))
+    # a few degenerate rows: points and an invalid (dropped) interval
+    ivs += [(900, 100, 100), (901, 4999, 4999), (902, 50, 40)]
+    df = spark.createDataFrame(ivs, "iid long, s long, e long")
+
+    valid = [(i, s, e) for i, s, e in ivs if s <= e]
+    want = {
+        (a[0], b[0], min(a[2], b[2]) - max(a[1], b[1]))
+        for a in valid
+        for b in valid
+        if a[1] <= b[2] and b[1] <= a[2]
+    }
+    for width in (50, 400, 10_000):
+        got = {
+            (r.l_iid, r.r_iid, r.overlap_s)
+            for r in overlap_join(df, df, width=width).collect()
+        }
+        assert got == want, width
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        overlap_join(df, df, width=0)

@@ -590,3 +590,14 @@ def test_stats_drift_is_single_pass_join_free(spark):
     for j in ("SortMergeJoin", "BroadcastHashJoin",
               "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in p, j
+
+
+def test_overlap_join_is_bucketed_equi_join(spark):
+    """The interval-overlap gate must meet candidates in an EQUI-join
+    on the bucket id — never a nested-loop range join — and keep only
+    the top-20 pairs via TakeOrderedAndProject."""
+    p = _plan(spark, "sessions_overlap_pairs")
+    assert re.search(r"hashpartitioning\(bkt", p) or "bkt" in p
+    for j in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in p, j
+    assert "TakeOrderedAndProject" in p

@@ -61,3 +61,52 @@ def test_sessionize_stream_closes_gapped_sessions(spark, tmp_path):
         (1, float(base), float(base + 1200), 3),
         (2, float(base + 100), float(base + 200), 2),
     }, got
+
+
+def test_metrics_rollup_drops_late_data_past_watermark(spark, tmp_path):
+    """Watermark semantics across restarts: a record arriving AFTER
+    the checkpointed watermark passed its window must be dropped — the
+    finalized minute keeps its run-1 value instead of silently
+    absorbing a stale metric replay (the late-data contract of
+    streaming/metrics._rollup's 2-minute watermark)."""
+    import json as _json
+    import os
+
+    from clip_retrieval_spark.streaming.metrics import rollup_metrics_once
+
+    mdir = tmp_path / "metrics"
+    odir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(mdir)
+    base = 1_700_000_100 // 60 * 60
+
+    def rec(at, rows):
+        return _json.dumps(
+            {"stage": "s1", "run_id": "r", "at": float(at),
+             "rows": rows, "wall_ms": 1, "cpu_ms": 1, "buckets": 1}
+        )
+
+    # run 1: two records in minute 0, one at minute +10 that drives the
+    # watermark to base+600-120s, far past minute 0's window end
+    (mdir / "b1.jsonl").write_text(
+        "\n".join([rec(base + 10, 5), rec(base + 20, 7),
+                   rec(base + 600, 1)]) + "\n"
+    )
+    rollup_metrics_once(spark, str(mdir), odir, ckpt)
+    first = {
+        (r.minute.timestamp(), r.rows, r.reports)
+        for r in spark.read.parquet(odir).filter("stage = 's1'").collect()
+    }
+    assert (float(base), 12, 2) in first
+
+    # run 2: one LATE record for minute 0 (behind the checkpointed
+    # watermark) and one fresh record at minute +20
+    (mdir / "b2.jsonl").write_text(
+        "\n".join([rec(base + 30, 100), rec(base + 1200, 2)]) + "\n"
+    )
+    rollup_metrics_once(spark, str(mdir), odir, ckpt)
+    rows = {
+        r.minute.timestamp(): (r.rows, r.reports)
+        for r in spark.read.parquet(odir).filter("stage = 's1'").collect()
+    }
+    assert rows[float(base)] == (12, 2), "late record leaked past watermark"
+    assert rows[float(base + 1200)] == (2, 1)

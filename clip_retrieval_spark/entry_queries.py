@@ -5301,6 +5301,44 @@ LIMIT 20
 """
 
 
+def exact_rank_selection(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact global order statistics WITHOUT a global sort: the lower
+    median and the rank-ceil(0.9n) element of the events value stream,
+    via operators.selection.kth_smallest (iterative histogram
+    refinement + residue ranking). The exact-quantile answer at
+    10^12 rows, where `ORDER BY value LIMIT 1 OFFSET k` is a full-sort
+    shuffle and approx_percentile is not exact; complements the
+    grouped-exact (quality_percentiles) and sketch
+    (hist_quantile_sketch) gates with the exact-GLOBAL path.
+
+    Scale shape: each refinement round is one algebraic histogram agg
+    (+ one strict-below count to re-anchor the rank exactly) and a
+    bins-sized driver collect; only the ~(range/bins^rounds)-wide
+    residue is ever window-ranked. Selected elements are exact row
+    values, so the oracle comparison is bit equality, not tolerance."""
+    from clip_retrieval_spark.operators.selection import kth_smallest
+
+    ev = _t(spark, sf, "events").select("value")
+    n = ev.filter(F.col("value").isNotNull()).count()
+    med = kth_smallest(ev, "value", (n + 1) // 2)
+    p90 = kth_smallest(ev, "value", -(-9 * n // 10))  # ceil(0.9n)
+    return spark.createDataFrame(
+        [(n, med, p90)], "n long, median_val double, p90_val double"
+    )
+
+
+EXACT_RANK_SQL = """
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+n AS (SELECT COUNT(*)::BIGINT AS c FROM v)
+SELECT (SELECT c FROM n) AS n,
+       (SELECT value FROM v ORDER BY value
+        LIMIT 1 OFFSET (((SELECT c FROM n) + 1) // 2 - 1)) AS median_val,
+       (SELECT value FROM v ORDER BY value
+        LIMIT 1 OFFSET (CAST(ceil(0.9 * (SELECT c FROM n)) AS BIGINT)
+                        - 1)) AS p90_val
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5381,6 +5419,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
         sessions_overlap_pairs,
         SESSIONS_OVERLAP_SQL,
     ),
+    "exact_rank_selection": (exact_rank_selection, EXACT_RANK_SQL),
     # --- core KG / dedup / ANN gates (keep in the driver window;
     # kg_extract_text / kg_triples FIRST — they are the two north-rule
     # invariants (byte-identical text, exact triples) and must hold a

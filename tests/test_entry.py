@@ -125,6 +125,7 @@ def test_every_query_is_oracled():
         "events_anomaly_days",
         "stats_drift_dumps",
         "sessions_overlap_pairs",
+        "exact_rank_selection",
         # rotated out of the driver window in r5 — second-scale cover
         # replaces their driver row
         "token_stats",
@@ -134,6 +135,7 @@ def test_every_query_is_oracled():
         "dedup_jaccard_pairs",
         "lang_id_stopwords",
         "dedup_simhash",
+        "dedup_minhash_lsh",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

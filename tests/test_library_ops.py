@@ -1291,3 +1291,37 @@ def test_overlap_join_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError):
         overlap_join(df, df, width=0)
+
+
+def test_kth_smallest_matches_sorted_reference(spark):
+    """Histogram-refinement selection == sorted()[k-1] across rank
+    positions, duplicate-heavy data, collapsed ranges, and different
+    rounds/bins configs (exactness must not depend on the knobs)."""
+    import random
+
+    import pytest as _pytest
+
+    from clip_retrieval_spark.operators.selection import kth_smallest
+
+    rng = random.Random(7)
+    datasets = [
+        [rng.uniform(-100, 100) for _ in range(500)],
+        [float(rng.randrange(5)) for _ in range(300)],  # heavy dups
+        [3.25] * 50,                                    # constant
+        [rng.uniform(0, 1e-9) for _ in range(100)],     # tiny range
+    ]
+    for vals in datasets:
+        df = spark.createDataFrame([(v,) for v in vals], "value double")
+        ref = sorted(vals)
+        ks = {1, len(vals), (len(vals) + 1) // 2, max(1, len(vals) // 10)}
+        for k in ks:
+            for rounds, bins in ((3, 128), (1, 8), (5, 4)):
+                got = kth_smallest(df, "value", k, rounds=rounds, bins=bins)
+                assert got == ref[k - 1], (k, rounds, bins)
+
+    df = spark.createDataFrame([(1.0,), (None,), (2.0,)], "value double")
+    assert kth_smallest(df, "value", 2) == 2.0  # nulls ignored
+    with _pytest.raises(ValueError):
+        kth_smallest(df, "value", 3)
+    with _pytest.raises(ValueError):
+        kth_smallest(df, "value", 0)

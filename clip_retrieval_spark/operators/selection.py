@@ -48,10 +48,12 @@ def kth_smallest(
     lo, hi = float(head["lo"]), float(head["hi"])
 
     remaining = k  # rank of the target within [lo, hi]
+    slack = 0.0  # one bucket of float-edge slack for the final rank
     for _ in range(rounds):
         if lo >= hi:
             break  # range collapsed: every candidate equals lo
         width = (hi - lo) / bins
+        slack = width
         bucket = F.least(
             F.lit(bins - 1),
             F.floor((F.col("v") - lo) / width).cast("int"),
@@ -85,16 +87,28 @@ def kth_smallest(
             below = vals.filter(F.col("v") < lo).count()
             remaining = k - below
 
-    residue = vals.filter((F.col("v") >= lo) & (F.col("v") <= hi))
     w = Window.orderBy("v")
-    picked = (
-        residue.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == remaining)
-        .select("v")
-        .collect()
-    )
+
+    def _pick(residue: DataFrame) -> list:
+        return (
+            residue.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == remaining)
+            .select("v")
+            .collect()
+        )
+
+    picked = _pick(vals.filter((F.col("v") >= lo) & (F.col("v") <= hi)))
+    if not picked:
+        # the upper bound is a SIZE optimization only: `remaining` is
+        # anchored to count(v < lo), so ranking everything >= lo is
+        # always exact. An ulp-level float edge can bin a value one
+        # bucket low and push the target just past `hi` — widen by one
+        # bucket of slack rather than trusting the edge.
+        picked = _pick(
+            vals.filter((F.col("v") >= lo) & (F.col("v") <= hi + slack))
+        )
     if not picked:
         raise RuntimeError(
-            f"selection residue lost rank {remaining} in [{lo}, {hi}]"
+            f"selection lost rank {remaining} above {lo}"
         )
     return float(picked[0]["v"])

@@ -5339,6 +5339,104 @@ SELECT (SELECT c FROM n) AS n,
 """
 
 
+def events_funnel_ordered(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis: how many users performed
+    view -> click -> purchase IN THAT ORDER (each later stage strictly
+    after the user's earliest completion of the previous one), plus
+    the mean time-to-convert between stages — the sequential-pattern
+    query product analytics runs first. On this dense corpus every
+    user completes the chain, so the DELAYS carry the ordered
+    semantics: an unordered `COUNT(DISTINCT CASE ...)` reproduces the
+    counts but cannot produce the strictly-after conversion delays.
+
+    Scale shape: three chained conditional min-aggregations ALL keyed
+    by user_id — the first groupBy shuffles once, and the stage-2/3
+    re-aggregations and the stage joins reuse that hash partitioning
+    (per-user rows, not raw events, flow through them); the final
+    stage tally is a 3-row aggregate."""
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("ep"),
+    )
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ep").alias("t1")
+    )
+    t2 = (
+        ev.join(t1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ep") > F.col("t1")))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ep").alias("t2"))
+    )
+    t3 = (
+        ev.join(t2.select("user_id", "t2"), "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ep") > F.col("t2"))
+        )
+        .groupBy("user_id", "t2")
+        .agg(F.min("ep").alias("t3"))
+    )
+    zero = F.lit(0.0)
+    return (
+        t1.agg(F.count("*").alias("n"), zero.alias("avg_delay_s"))
+        .withColumn("stage", F.lit("1_view"))
+        .unionByName(
+            t2.agg(
+                F.count("*").alias("n"),
+                F.round(F.avg(F.col("t2") - F.col("t1")), 2).alias(
+                    "avg_delay_s"
+                ),
+            ).withColumn("stage", F.lit("2_view_click"))
+        )
+        .unionByName(
+            t3.agg(
+                F.count("*").alias("n"),
+                F.round(F.avg(F.col("t3") - F.col("t2")), 2).alias(
+                    "avg_delay_s"
+                ),
+            ).withColumn("stage", F.lit("3_view_click_purchase"))
+        )
+        .select(
+            "stage",
+            F.col("n").cast("long").alias("n_users"),
+            "avg_delay_s",
+        )
+        .orderBy("stage")
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS ep FROM events
+),
+t1 AS (
+  SELECT user_id, MIN(ep) AS t1 FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT ev.user_id, t1, MIN(ep) AS t2
+  FROM ev JOIN t1 USING (user_id)
+  WHERE event_type = 'click' AND ep > t1 GROUP BY 1, 2
+),
+t3 AS (
+  SELECT ev.user_id, t2, MIN(ep) AS t3
+  FROM ev JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND ep > t2 GROUP BY 1, 2
+)
+SELECT stage, n_users, avg_delay_s FROM (
+  SELECT '1_view' AS stage, COUNT(*)::BIGINT AS n_users,
+         0.0::DOUBLE AS avg_delay_s FROM t1
+  UNION ALL
+  SELECT '2_view_click', COUNT(*)::BIGINT,
+         ROUND(AVG(t2 - t1), 2)::DOUBLE FROM t2
+  UNION ALL
+  SELECT '3_view_click_purchase', COUNT(*)::BIGINT,
+         ROUND(AVG(t3 - t2), 2)::DOUBLE FROM t3
+)
+ORDER BY stage
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5420,6 +5518,7 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
         SESSIONS_OVERLAP_SQL,
     ),
     "exact_rank_selection": (exact_rank_selection, EXACT_RANK_SQL),
+    "events_funnel_ordered": (events_funnel_ordered, EVENTS_FUNNEL_SQL),
     # --- core KG / dedup / ANN gates (keep in the driver window;
     # kg_extract_text / kg_triples FIRST — they are the two north-rule
     # invariants (byte-identical text, exact triples) and must hold a

@@ -126,6 +126,7 @@ def test_every_query_is_oracled():
         "stats_drift_dumps",
         "sessions_overlap_pairs",
         "exact_rank_selection",
+        "events_funnel_ordered",
         # rotated out of the driver window in r5 — second-scale cover
         # replaces their driver row
         "token_stats",
@@ -136,6 +137,7 @@ def test_every_query_is_oracled():
         "lang_id_stopwords",
         "dedup_simhash",
         "dedup_minhash_lsh",
+        "dedup_exact",
     ],
 )
 def test_newest_gates_match_oracle_second_scale(spark, name):

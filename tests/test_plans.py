@@ -601,3 +601,13 @@ def test_overlap_join_is_bucketed_equi_join(spark):
     for j in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert j not in p, j
     assert "TakeOrderedAndProject" in p
+
+
+def test_funnel_stages_reuse_user_partitioning(spark):
+    """The ordered funnel must stay keyed by user_id end-to-end —
+    algebraic min aggregations (map-side combinable) and keyed equi-
+    joins; never a nested-loop stage chain."""
+    p = _plan(spark, "events_funnel_ordered")
+    assert "partial_min" in p
+    for j in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in p, j

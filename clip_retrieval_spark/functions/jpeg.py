@@ -312,17 +312,25 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT
             s = 0
             while s < len(seg):
+                if s + 17 > len(seg):
+                    raise ValueError("truncated DHT")
                 tc, th = seg[s] >> 4, seg[s] & 0xF
                 bits = list(seg[s + 1 : s + 17])
                 nsym = sum(bits)
+                if s + 17 + nsym > len(seg):
+                    raise ValueError("truncated DHT")
                 huffval = list(seg[s + 17 : s + 17 + nsym])
                 dec = _HuffDecoder(bits, huffval)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
                 s += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            if len(seg) < 6:
+                raise ValueError("truncated SOF")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated SOF")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -339,6 +347,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"non-baseline frame type SOF{marker - 0xC0}"
             )
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated DRI")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:

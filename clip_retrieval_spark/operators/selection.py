@@ -46,6 +46,11 @@ def kth_smallest(
     if k > n:
         raise ValueError(f"k={k} exceeds non-null count {n}")
     lo, hi = float(head["lo"]), float(head["hi"])
+    if lo >= hi:
+        # constant column: every non-null value equals lo. Without this
+        # short-circuit the final rank pass would window-sort the WHOLE
+        # column in one task.
+        return lo
 
     remaining = k  # rank of the target within [lo, hi]
     slack = 0.0  # one bucket of float-edge slack for the final rank
@@ -80,35 +85,63 @@ def kth_smallest(
         # of the NEW lower bound and restate the in-range rank.
         below = vals.filter(F.col("v") < lo).count()
         remaining = k - below
-        if remaining < 1:
+        while remaining < 1:
             # the target sits exactly on a float boundary just below
-            # `lo`; step the lower bound back one bucket and re-anchor
-            lo = prev_lo if b == 0 else prev_lo + (b - 1) * width
+            # `lo`; widen the lower bound back bucket by bucket until
+            # the anchored rank is positive again (terminates at the
+            # global min, where below=0 and remaining=k>=1).
+            lo = prev_lo if lo - width <= prev_lo else lo - width
             below = vals.filter(F.col("v") < lo).count()
             remaining = k - below
+            if lo <= prev_lo and remaining < 1:
+                prev_lo -= width  # duplicates stacked within an ulp
+                # of the round floor: keep stepping below it
 
-    w = Window.orderBy("v")
+    if lo >= hi:
+        # the surviving range collapsed (duplicate-saturated column):
+        # every candidate in [lo, hi] equals lo and the anchored rank
+        # remaining >= 1 selects it — no rank pass needed, and no
+        # single-task window over a potentially huge residue.
+        return lo
 
-    def _pick(residue: DataFrame) -> list:
-        return (
+    def _pick(residue: DataFrame, rem: int) -> float | None:
+        # cheap aggregates first: they bound the residue and settle the
+        # common degenerate shapes without a single-task global window
+        st = residue.agg(
+            F.count("*").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ).collect()[0]
+        if st["c"] < rem:
+            return None  # rank lies past this residue: caller widens
+        if rem == 1:
+            return float(st["mn"])
+        if st["mn"] == st["mx"]:
+            return float(st["mn"])  # all-equal residue
+        w = Window.orderBy("v")
+        rows = (
             residue.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == remaining)
+            .filter(F.col("r") == rem)
             .select("v")
             .collect()
         )
+        return float(rows[0]["v"]) if rows else None
 
-    picked = _pick(vals.filter((F.col("v") >= lo) & (F.col("v") <= hi)))
-    if not picked:
+    got = _pick(
+        vals.filter((F.col("v") >= lo) & (F.col("v") <= hi)), remaining
+    )
+    if got is None:
         # the upper bound is a SIZE optimization only: `remaining` is
         # anchored to count(v < lo), so ranking everything >= lo is
         # always exact. An ulp-level float edge can bin a value one
         # bucket low and push the target just past `hi` — widen by one
         # bucket of slack rather than trusting the edge.
-        picked = _pick(
-            vals.filter((F.col("v") >= lo) & (F.col("v") <= hi + slack))
+        got = _pick(
+            vals.filter((F.col("v") >= lo) & (F.col("v") <= hi + slack)),
+            remaining,
         )
-    if not picked:
+    if got is None:
         raise RuntimeError(
             f"selection lost rank {remaining} above {lo}"
         )
-    return float(picked[0]["v"])
+    return got

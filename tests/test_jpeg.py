@@ -277,6 +277,27 @@ def test_decode_is_linear_in_entropy_bytes():
     assert time.monotonic() - t0 < 30.0
 
 
+def test_truncated_marker_segments_raise_valueerror_regression():
+    """Pinned replay of the round-5 fuzz failure (pos=161, val=2,
+    cut=162 on the progressive stream): a stream cut inside a marker
+    segment must raise ValueError, never IndexError/struct.error —
+    multimodal's corrupt-row catch only handles ValueError."""
+    prog = encode_jpeg_progressive(_gradient(h=16, w=16), quality=90)
+    mutated = bytearray(prog[:162])
+    if len(mutated) > 161:
+        mutated[161] = 2
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(bytes(mutated))
+    # sweep every cut point through the header region of both streams
+    base = encode_jpeg(_gradient(h=16, w=16), quality=90)
+    for src in (base, prog):
+        for cut in range(0, min(len(src), 700)):
+            try:
+                decode_jpeg(src[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_fuzz_decoder_never_hangs_or_leaks_exceptions():
     """Property: arbitrary mutations of a valid stream either decode or
     raise ValueError/NotImplementedError — never IndexError/struct

@@ -1325,3 +1325,28 @@ def test_kth_smallest_matches_sorted_reference(spark):
         kth_smallest(df, "value", 3)
     with _pytest.raises(ValueError):
         kth_smallest(df, "value", 0)
+
+
+def test_kth_smallest_degenerate_never_global_windows(spark, monkeypatch):
+    """Constant / duplicate-saturated columns must be answered from
+    aggregates alone — the partition-less Window (single-task global
+    sort at scale) must not be constructed on these shapes."""
+    import pyspark.sql.window as _w
+
+    from clip_retrieval_spark.operators.selection import kth_smallest
+
+    def _boom(*a, **kw):  # any global window build fails the test
+        raise AssertionError("global Window built on degenerate input")
+
+    monkeypatch.setattr(_w.Window, "orderBy", staticmethod(_boom))
+    const = spark.createDataFrame([(7.5,)] * 200, "value double")
+    assert kth_smallest(const, "value", 100) == 7.5
+    # two-value column: the range never collapses, but every residue is
+    # all-equal, so min/max aggregates settle the rank without a window
+    two = spark.createDataFrame(
+        [(1.0,)] * 150 + [(9.0,)] * 150, "value double"
+    )
+    assert kth_smallest(two, "value", 1) == 1.0
+    assert kth_smallest(two, "value", 150) == 1.0
+    assert kth_smallest(two, "value", 151) == 9.0
+    assert kth_smallest(two, "value", 300) == 9.0

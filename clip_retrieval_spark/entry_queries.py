@@ -25,6 +25,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_spread(
+    spark: SparkSession, sf_dir: str, name: str, key: str
+) -> DataFrame:
+    """``_t`` + a deterministic hash repartition WHEN the file's
+    row-group layout caps scan parallelism below the session's cores
+    (guide §2.5: one huge unsplittable input -> repartition right after
+    the read). Parquet can't split inside a row group, so a
+    single-row-group file pins every downstream narrow stage — the
+    CPU-dense tokenize/fold/decode work — to ONE core no matter how
+    many byte-range splits the scan planner makes.
+
+    Scale-adaptive, not local-tuned: the decision reads the actual
+    footer (driver-side, ~ms — same metadata-only class as
+    io.TableStore.fast_count) and is a no-op whenever row groups
+    already cover the cores, which is every properly-laid-out large
+    input; the partition count derives from defaultParallelism, never
+    a constant. The key is a stated unique id so the placement is
+    deterministic under retries (guide §2.5 warns off round-robin)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata
+        row_groups, rows = md.num_row_groups, md.num_rows
+    except Exception:
+        return df
+    cores = spark.sparkContext.defaultParallelism
+    target = min(cores, max(1, rows // 512))
+    if row_groups >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 # ---------------------------------------------------------------------------
 # relational core (scan / filter / project / agg / join / window / sort)
 # ---------------------------------------------------------------------------
@@ -465,13 +498,24 @@ FROM documents GROUP BY 1 ORDER BY keeper
 """
 
 
+def _tok_arr(col: str = "text") -> F.Column:
+    """Distinct non-empty tokens of one document as a NARROW array
+    expression (split -> filter -> array_distinct, no shuffle)."""
+    return F.array_distinct(
+        F.filter(F.split(col, " "), lambda t: t != "")
+    )
+
+
 def _doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, tok) distinct — shared by the dedup/text family."""
-    return (
-        _t(spark, sf, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .filter(F.col("tok") != "")
-        .distinct()
+    """(doc_id, tok) distinct — shared by the dedup/text family.
+
+    doc_id is the documents PK (driver-generated, verified unique at
+    every sf), so per-row array_distinct == the global DISTINCT the
+    oracle states — computed narrowly. The previous implementation
+    shuffled EVERY token for a distinct exchange; this one shuffles
+    nothing (guide §2.4: remove shuffles outright)."""
+    return _t_spread(spark, sf, "documents", "doc_id").select(
+        "doc_id", F.explode(_tok_arr()).alias("tok")
     )
 
 
@@ -499,33 +543,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     count) — all from a handful of degenerate buckets that say "these
     docs share boilerplate", not "near-duplicates". Over-cap buckets are
     dropped as non-selective; the oracle applies the identical cap via a
-    window count, so the comparison stays exact."""
-    toks = _doc_tokens(spark, sf)
-    mh = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(
-                f"mh{i}"
+    window count, so the comparison stays exact.
+
+    r6 shape (guide §2.4): minhashes and band signatures are NARROW
+    per-row expressions over the distinct-token array (doc_id is the
+    PK, so array_distinct == the oracle's DISTINCT; lexicographic
+    array_min over the i-salted md5s == the grouped MIN) — the previous
+    token-distinct exchange and groupBy(doc_id) exchange are gone. The
+    bucket cap is a window count over the ONE (band, sig) exchange,
+    which the self-join then reuses (no second shuffle of bands)."""
+    docs = _t_spread(spark, sf, "documents", "doc_id")
+
+    def _mh(i: int) -> F.Column:
+        # NB: the salt must be captured in a closure — a `lambda t, i=i`
+        # two-parameter signature would make transform() pass the array
+        # INDEX as the second argument
+        return F.array_min(
+            F.transform(
+                "_t", lambda t: F.md5(F.concat(F.lit(f"{i}:"), t))
             )
-            for i in range(_MINHASH_K)
-        ]
+        ).alias(f"mh{i}")
+
+    mh = docs.select("doc_id", _tok_arr().alias("_t")).select(
+        "doc_id", *[_mh(i) for i in range(_MINHASH_K)]
     )
     # 2 bands x 4 rows: deep bands keep candidate pairs sparse on
     # high-mutual-Jaccard corpora (r=2 banding emitted ~40% of ALL
     # pairs on the synthetic docs — LSH in name only)
-    bands = None
-    for b in range(_MINHASH_K // _BAND_R):
-        part = mh.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat(*[f"mh{_BAND_R * b + r}" for r in range(_BAND_R)])
-            ).alias("sig"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    counts = bands.groupBy("band", "sig").agg(F.count("*").alias("_n"))
-    bounded = bands.join(
-        counts.filter(F.col("_n") <= _MINHASH_BUCKET_CAP), ["band", "sig"]
-    ).drop("_n")
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                *[
+                                    f"mh{_BAND_R * b + r}"
+                                    for r in range(_BAND_R)
+                                ]
+                            )
+                        ).alias("sig"),
+                    )
+                    for b in range(_MINHASH_K // _BAND_R)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("doc_id", F.col("_bs.band").alias("band"),
+             F.col("_bs.sig").alias("sig"))
+    wc = Window.partitionBy("band", "sig")
+    bounded = (
+        bands.withColumn("_n", F.count("*").over(wc))
+        .filter(F.col("_n") <= _MINHASH_BUCKET_CAP)
+        .drop("_n")
+    )
     left = bounded.select("band", "sig", F.col("doc_id").alias("a"))
     right = bounded.select("band", "sig", F.col("doc_id").alias("b"))
     return (
@@ -568,30 +640,35 @@ ORDER BY a, b
 
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """32-bit SimHash fingerprints: per-token md5 -> 32 bits -> signed
-    per-bit majority vote -> fingerprint (dedup = equal fingerprints)."""
+    per-bit majority vote -> fingerprint (dedup = equal fingerprints).
+
+    r6 shape: the signed vote s_b = sum(+1 if bit set else -1) equals
+    2*c_b - n for c_b = count of set bits, so ONE codegen aggregation
+    per doc (count + 32 bit-sums, map-side combinable) replaces the
+    previous 32x bit-explode plus two chained aggregations — identical
+    integer arithmetic, 1 exchange instead of 2 over 32x fewer rows."""
     toks = _doc_tokens(spark, sf).withColumn(
         "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
     )
-    bits = toks.select(
-        "doc_id", "h",
-        F.explode(F.array(*[F.lit(b) for b in range(32)])).alias("bit"),
+    sums = toks.groupBy("doc_id").agg(
+        F.count("*").alias("_n"),
+        *[
+            F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(
+                f"_c{b}"
+            )
+            for b in range(32)
+        ],
     )
-    votes = (
-        bits.withColumn(
-            "v",
-            F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("s"))
+    simhash = None
+    for b in range(32):
+        term = F.when(
+            2 * F.col(f"_c{b}") - F.col("_n") > 0,
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.alias("simhash")).orderBy(
+        "doc_id"
     )
-    sim = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
-    return sim.select("doc_id", "simhash").orderBy("doc_id")
 
 
 DEDUP_SIMHASH_SQL = """
@@ -626,15 +703,22 @@ def dedup_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     similarity as non-discriminative (standard similarity-join
     prefiltering). Sizes are computed AFTER the cap and the oracle
     applies the identical cap, so the engines agree exactly at every
-    scale while worst-case per-token fanout is a constant."""
-    docs = _t(spark, sf, "documents").select("doc_id", "source")
-    all_toks = _doc_tokens(spark, sf).join(docs, "doc_id")
-    tok_df = all_toks.groupBy("source", "tok").agg(
-        F.count("*").alias("_df")
+    scale while worst-case per-token fanout is a constant.
+
+    r6 shape: source rides the narrow tokenization directly (doc_id is
+    the documents PK — the previous _doc_tokens JOIN documents shuffled
+    every token twice), and the df cap is a window count over ONE
+    (source, tok) exchange — the same shape as the oracle SQL — which
+    the intersection self-join then reuses."""
+    all_toks = _t_spread(spark, sf, "documents", "doc_id").select(
+        "doc_id", "source", F.explode(_tok_arr()).alias("tok")
     )
-    toks = all_toks.join(
-        tok_df.filter(F.col("_df") <= _JACCARD_DF_CAP), ["source", "tok"]
-    ).drop("_df")
+    wdf = Window.partitionBy("source", "tok")
+    toks = (
+        all_toks.withColumn("_df", F.count("*").over(wdf))
+        .filter(F.col("_df") <= _JACCARD_DF_CAP)
+        .drop("_df")
+    )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.select(
         F.col("source"), F.col("doc_id").alias("a"), F.col("tok")
@@ -927,11 +1011,10 @@ def ann_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
     Vectors are unit-norm so dot == cosine; accumulated in double,
     left-to-right, which DuckDB's list_dot_product(::DOUBLE[]) matches
     bit-for-bit (verified empirically)."""
-    emb = _t(spark, sf, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10).select(
+    q = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
     )
-    c = emb.select(
+    c = _t_spread(spark, sf, "embeddings", "vec_id").select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     scored = (
@@ -992,7 +1075,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         block_allpairs_cosine,
     )
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = _t_spread(spark, sf, "embeddings", "vec_id").select(
+        "vec_id", "embedding"
+    )
     # fixed B=8 here is the sf-scale default (keeps the gate plan
     # deterministic, no extra count job); production callers omit
     # n_blocks and get the auto-sized B (auto_n_blocks) that holds task
@@ -1289,7 +1374,10 @@ FROM expected ORDER BY qid, rank
 
 def docs_as_pages(spark: SparkSession, sf: str) -> DataFrame:
     """documents -> pages(url, warc_ts, html, text, lang)."""
-    d = _t(spark, sf, "documents")
+    # _t_spread: the pages feed mapInPandas extract stages whose
+    # per-page Python cost dwarfs the shuffle of the raw doc rows; a
+    # single-row-group file would run the whole extract on one core
+    d = _t_spread(spark, sf, "documents", "doc_id")
     sent = F.concat(
         F.lit("Entity"), (F.col("doc_id") % 40).cast("string"),
         F.lit(" acquired Entity"),
@@ -1445,7 +1533,11 @@ def kg_links(spark: SparkSession, sf: str) -> DataFrame:
     linked = e.select("entity_id", F.col("surface").alias("linked_surface"))
     return (
         m.select("url", "sent_id", "role", "surface")
-        .join(sl, "surface")
+        # broadcast: |sl| = k per DISTINCT surface — the closed 40-name
+        # vocabulary here; without the hint the planner's unknown size
+        # estimate picks a sort-merge join that shuffles every mention
+        # by a 40-value key (skew by construction)
+        .join(F.broadcast(sl), "surface")
         .join(F.broadcast(linked), "entity_id")
         .select(
             "url", "sent_id", "role", "surface", "linked_surface",
@@ -1707,7 +1799,9 @@ def ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.filter("vec_id < 10").selectExpr(
         "vec_id as qid", "embedding as q_emb"
     )
-    c = emb.selectExpr("vec_id as cid", "embedding as c_emb")
+    c = _t_spread(spark, sf, "embeddings", "vec_id").selectExpr(
+        "vec_id as cid", "embedding as c_emb"
+    )
     return rp_lsh_topk(
         q, c, dim=64, k=5, n_bits=3, n_tables=12,
         exclude_self=True, round_to=6,
@@ -1912,7 +2006,9 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10).selectExpr(
         "vec_id AS qid", "embedding AS q_emb"
     )
-    c = emb.selectExpr("vec_id AS cid", "embedding AS c_emb")
+    c = _t_spread(spark, sf, "embeddings", "vec_id").selectExpr(
+        "vec_id AS cid", "embedding AS c_emb"
+    )
     return (
         ivf_topk(
             q, c, cents, k=5, nprobe=4, exclude_self=True, round_to=6
@@ -1978,7 +2074,9 @@ def kmeans_assign2(spark: SparkSession, sf: str) -> DataFrame:
     per-dim means, re-assignment all mirrored in unrolled SQL)."""
     from clip_retrieval_spark.operators.kmeans import kmeans_assign
 
-    emb = _t(spark, sf, "embeddings")
+    # _t_spread: the single-row-group embeddings file would pin every
+    # assignment fold to one scan task (guide §2.5)
+    emb = _t_spread(spark, sf, "embeddings", "vec_id")
     return kmeans_assign(emb, k=8, iterations=2).orderBy("vec_id")
 
 
@@ -2030,9 +2128,9 @@ def pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
     sum-of-lookups score — not a recall bet against brute force."""
     from clip_retrieval_spark.operators.pq import pq_adc_topk, pq_encode
 
-    emb = _t(spark, sf, "embeddings")
+    emb = _t_spread(spark, sf, "embeddings", "vec_id")
     cb = (
-        emb.filter(F.col("vec_id") < 16)
+        _t(spark, sf, "embeddings").filter(F.col("vec_id") < 16)
         .select(
             F.col("vec_id").cast("int").alias("cell_id"),
             F.explode(F.sequence(F.lit(0), F.lit(7))).alias("sub"),
@@ -2050,7 +2148,7 @@ def pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
     codes = pq_encode(
         emb.selectExpr("vec_id as cid", "embedding as c_emb"), cb, dim=64
     )
-    q = emb.filter("vec_id < 10").selectExpr(
+    q = _t(spark, sf, "embeddings").filter("vec_id < 10").selectExpr(
         "vec_id as qid", "embedding as q_emb"
     )
     return (
@@ -2540,9 +2638,15 @@ def chunk_dedup_ratio(spark: SparkSession, sf: str) -> DataFrame:
     MinHash (near_dedup_documents) scores global overlap. This is the
     middle granularity: which SPANS are copied. Shape at scale: narrow
     in-row chunking (split + slice, no explode until the chunk table),
-    one md5-keyed agg for cross-doc counts, one broadcast-size join
-    back — all map-side combinable."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    computed ONCE (the previous dup-side/per-doc-side branches chunked
+    the corpus twice); duplication is decided by a window count over
+    the one (h, doc_id)-reduced exchange instead of a count-distinct
+    aggregation plus a join back; the chunk key shuffles as 16-byte
+    unhex(md5) binary, not the 32-char hex string (guide §2.3:
+    narrower shuffle keys)."""
+    docs = _t_spread(spark, sf, "documents", "doc_id").select(
+        "doc_id", "text"
+    )
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     n_chunks = F.floor(F.size(toks) / _CHUNK_W).cast("int")
     # guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark, which
@@ -2551,34 +2655,31 @@ def chunk_dedup_ratio(spark: SparkSession, sf: str) -> DataFrame:
     idx = F.when(
         n_chunks >= 1, F.sequence(F.lit(1), n_chunks)
     ).otherwise(F.array().cast("array<int>"))
-    chunks = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ", F.slice(toks, (i - 1) * _CHUNK_W + 1, _CHUNK_W)
-                    ),
-                )
-            ).alias("chunk"),
-        )
-        .withColumn("h", F.md5("chunk"))
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, (i - 1) * _CHUNK_W + 1, _CHUNK_W)
+                ),
+            )
+        ).alias("chunk"),
+    ).select("doc_id", F.unhex(F.md5("chunk")).alias("h"))
+    # (h, doc_id, instance count): one map-side-combinable reduction;
+    # a chunk hash is duplicated iff >= 2 rows (= distinct docs) share
+    # it, decided by a window count over the same exchange
+    cd = chunks.groupBy("h", "doc_id").agg(F.count("*").alias("_c"))
+    wnd = cd.withColumn(
+        "_nd", F.count("*").over(Window.partitionBy("h"))
     )
-    dup = (
-        chunks.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    per_doc = chunks.join(dup.withColumn("_dup", F.lit(1)), "h", "left")
     return (
-        per_doc.groupBy("doc_id")
+        wnd.groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.sum(F.coalesce("_dup", F.lit(0))).cast("long").alias(
-                "n_dup_chunks"
-            ),
+            F.sum("_c").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("_nd") >= 2, F.col("_c")).otherwise(F.lit(0))
+            ).cast("long").alias("n_dup_chunks"),
         )
         .withColumn(
             "dup_ratio",
@@ -2735,9 +2836,12 @@ def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
     so the oracle replays assignment + EXISTS drop rule exactly."""
     from clip_retrieval_spark.operators.dedup import semantic_dedup
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = _t_spread(spark, sf, "embeddings", "vec_id").select(
+        "vec_id", "embedding"
+    )
     cents = (
-        emb.orderBy("vec_id")
+        _t(spark, sf, "embeddings").select("vec_id", "embedding")
+        .orderBy("vec_id")
         .limit(8)
         .withColumn(
             "cell_id",
@@ -2786,12 +2890,17 @@ def lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     P(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V); per-doc score is the
     mean negative log-likelihood over its bigrams, ppl = exp(mean).
 
-    Scale shape: bigram counts are algebraic (map-side combinable);
-    the score join is keyed by the bigram and co-partitions with the
-    count shuffle; V is a broadcast scalar. Hub contexts ('the', 'of')
-    are the skew class functions.skew handles — AQE skew-join splits
-    the ctx join at cluster scale."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    Scale shape (r6): c(w1,w2) and ctx(w1) are WINDOW counts over the
+    occurrence stream — the (w1,w2) exchange then the (w1) exchange —
+    so the bigram table is built once (the previous join-based plan
+    re-ran the explode for the bgc branch and shuffled occurrences a
+    third time through the two joins); V is a broadcast scalar. Hub
+    contexts ('the', 'of') are the skew class functions.skew handles —
+    at cluster scale a salted two-level count replaces the hub window
+    the same way it would the hub join."""
+    docs = _t_spread(spark, sf, "documents", "doc_id").select(
+        "doc_id", "text"
+    )
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     tk = docs.select("doc_id", toks.alias("t"))
     occ = (
@@ -2810,16 +2919,23 @@ def lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select("doc_id", "bg.w1", "bg.w2")
     )
-    bgc = occ.groupBy("w1", "w2").agg(
-        F.count("*").cast("double").alias("cnt")
-    )
-    ctx = bgc.groupBy("w1").agg(F.sum("cnt").alias("cw"))
     vocab = tk.select(F.explode("t").alias("tok")).agg(
         F.countDistinct("tok").cast("double").alias("v")
     )
+    # c(w1,w2) = rows in the (w1,w2) window; ctx(w1) = rows in the (w1)
+    # window (= sum of c over w2) — same integers the old aggregations
+    # produced, no joins, occurrences exploded exactly once
     scored = (
-        occ.join(bgc, ["w1", "w2"])
-        .join(ctx, "w1")
+        occ.withColumn(
+            "cnt",
+            F.count("*").over(Window.partitionBy("w1", "w2")).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "cw",
+            F.count("*").over(Window.partitionBy("w1")).cast("double"),
+        )
         .crossJoin(F.broadcast(vocab))
         .withColumn(
             "nll",

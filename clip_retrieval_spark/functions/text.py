@@ -95,12 +95,14 @@ def extract_text(html_bytes: bytes | str | None) -> str:
     doc = _INLINE_RE.sub("", doc)
     doc = _TAG_RE.sub("\n", doc)
     doc = _html.unescape(doc)
-    lines = []
-    for line in doc.split("\n"):
-        line = _WS_RE.sub(" ", line).strip()
-        if line:
-            lines.append(line)
-    return "\n".join(lines)
+    # one whole-document WS collapse == the per-line collapse (the WS
+    # class contains no "\n", so no run ever spans a line break), then
+    # a strip per line; byte-identical, one C-level pass instead of
+    # one regex invocation per line
+    doc = _WS_RE.sub(" ", doc)
+    return "\n".join(
+        s for s in (line.strip() for line in doc.split("\n")) if s
+    )
 
 
 # --- triple extraction ------------------------------------------------------
@@ -148,12 +150,15 @@ def sentences(text: str) -> list[str]:
 
 def _chunks(tokens: list[str]) -> list[tuple[int, int]]:
     """Maximal capitalized runs as [start, end) spans."""
+    # precompute the cap flag once per token (the run scan below would
+    # otherwise test most tokens twice)
+    caps = [t[0].isupper() and t[0].isascii() for t in tokens]
     spans = []
     i, n = 0, len(tokens)
     while i < n:
-        if tokens[i][0].isupper() and tokens[i][0].isascii():
-            j = i
-            while j < n and tokens[j][0].isupper() and tokens[j][0].isascii():
+        if caps[i]:
+            j = i + 1
+            while j < n and caps[j]:
                 j += 1
             if not (j - i == 1 and tokens[i] in _CHUNK_STOP):
                 spans.append((i, j))

@@ -12,6 +12,8 @@ group) restated as DataFrame ops with explicit keys.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -226,6 +228,15 @@ def semantic_dedup(
             acc += np.outer(a[:, k], b[:, k])
         return acc
 
+    # Tile-level threads: task parallelism is bounded by the number of
+    # cells, so when the executor has more cores than there are cells
+    # (k=8 codebooks on 32-core hosts) the gram work is threaded over
+    # ROW blocks inside each task — numpy releases the GIL, each thread
+    # writes a disjoint dup[s:e] slice, and the per-tile dim-ordered
+    # fold (the determinism contract) is untouched because tiles are
+    # independent and boolean OR is commutative.
+    n_threads = int(os.environ.get("SPARK_GRAFT_CELL_THREADS", "4"))
+
     def _one_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
             drop=True
@@ -239,15 +250,31 @@ def semantic_dedup(
         nz[nz == 0.0] = 1.0
         xn = x / nz[:, None]
         dup = np.zeros(n, dtype=bool)
-        for s in range(0, n, block_rows):
+
+        def _row_block(s: int) -> tuple[int, int, "np.ndarray"]:
             e = min(s + block_rows, n)
+            out = np.zeros(e - s, dtype=bool)
             for cs in range(0, s + 1, block_rows):
                 ce = min(cs + block_rows, e)
                 g = np.round(_fold_gram(xn[s:e], xn[cs:ce]), round_to)
                 m = g >= threshold
                 if cs == s:  # diagonal tile: strictly-lower ids only
                     m &= np.tri(e - s, ce - cs, k=-1, dtype=bool)
-                dup[s:e] |= m.any(axis=1)
+                out |= m.any(axis=1)
+            return s, e, out
+
+        blocks = list(range(0, n, block_rows))
+        if len(blocks) > 1 and n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=n_threads) as ex:
+                # largest row blocks first: block s owns s/B + 1 tiles
+                for s, e, out in ex.map(_row_block, reversed(blocks)):
+                    dup[s:e] = out
+        else:
+            for s in blocks:
+                s, e, out = _row_block(s)
+                dup[s:e] = out
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],

@@ -32,20 +32,30 @@ def extract_triples_df(extracted: DataFrame) -> DataFrame:
 
     def _triples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+            # column-wise accumulation: pandas builds a frame from
+            # per-column lists without the row-tuple transpose
+            urls, tss, sids = [], [], []
+            subjs, preds, objs, sspans, ospans = [], [], [], [], []
+            for url, ts, text in zip(
+                pdf["url"].tolist(), pdf["warc_ts"], pdf["text"].tolist()
+            ):
                 for (sid, subj, pred, obj, s1, e1, s2, e2) in extract_triples(
                     text or ""
                 ):
-                    rows.append(
-                        (url, ts, sid, subj, pred, obj, [s1, e1], [s2, e2])
-                    )
+                    urls.append(url)
+                    tss.append(ts)
+                    sids.append(sid)
+                    subjs.append(subj)
+                    preds.append(pred)
+                    objs.append(obj)
+                    sspans.append([s1, e1])
+                    ospans.append([s2, e2])
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "warc_ts", "sent_id", "subj", "pred", "obj",
-                    "subj_span", "obj_span",
-                ],
+                {
+                    "url": urls, "warc_ts": tss, "sent_id": sids,
+                    "subj": subjs, "pred": preds, "obj": objs,
+                    "subj_span": sspans, "obj_span": ospans,
+                }
             )
 
     return extracted.select("url", "warc_ts", "text").mapInPandas(
@@ -67,22 +77,28 @@ def extract_and_triples_df(pages: DataFrame) -> DataFrame:
 
     def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            urls, tss, sids = [], [], []
+            subjs, preds, objs, sspans, ospans = [], [], [], [], []
             for url, ts, html in zip(
-                pdf["url"], pdf["warc_ts"], pdf["html"]
+                pdf["url"].tolist(), pdf["warc_ts"], pdf["html"].tolist()
             ):
                 for (sid, s, p, o, s1, e1, s2, e2) in extract_triples(
                     extract_text(html)
                 ):
-                    rows.append(
-                        (url, ts, sid, s, p, o, [s1, e1], [s2, e2])
-                    )
+                    urls.append(url)
+                    tss.append(ts)
+                    sids.append(sid)
+                    subjs.append(s)
+                    preds.append(p)
+                    objs.append(o)
+                    sspans.append([s1, e1])
+                    ospans.append([s2, e2])
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url", "warc_ts", "sent_id", "subj", "pred", "obj",
-                    "subj_span", "obj_span",
-                ],
+                {
+                    "url": urls, "warc_ts": tss, "sent_id": sids,
+                    "subj": subjs, "pred": preds, "obj": objs,
+                    "subj_span": sspans, "obj_span": ospans,
+                }
             )
 
     return pages.select("url", "warc_ts", "html").mapInPandas(

@@ -519,6 +519,16 @@ def _doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _doc_tokens_src(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, source, tok) distinct-per-doc — `_doc_tokens` with the
+    source carried from the same row (doc_id is the PK, so the old
+    `_doc_tokens JOIN documents` re-shuffle of every token computed
+    exactly this)."""
+    return _t_spread(spark, sf, "documents", "doc_id").select(
+        "doc_id", "source", F.explode(_tok_arr()).alias("tok")
+    )
+
+
 _DOC_TOKENS_SQL = """
   SELECT DISTINCT doc_id, tok
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -793,7 +803,9 @@ def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram-heuristic language ID: stopword hit counts per language,
     argmax with pinned tie order (score DESC, lang ASC); 'und' when no
     stopword hits."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select(
+        "doc_id", "text"
+    )
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -857,7 +869,7 @@ def quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Quality scoring: token count, mean token length, stopword ratio,
     composite score — pure JVM-side arithmetic."""
     en = _STOPWORDS["en"]
-    docs = _t(spark, sf, "documents")
+    docs = _t_spread(spark, sf, "documents", "doc_id")
     toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     sw_arr = F.array(*[F.lit(w) for w in en])
     n_tok = F.size(toks)
@@ -906,7 +918,7 @@ FROM t ORDER BY doc_id
 def token_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level token statistics (one-row aggregate)."""
     toks = (
-        _t(spark, sf, "documents")
+        _t_spread(spark, sf, "documents", "doc_id")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
     )
@@ -937,7 +949,7 @@ def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     (training-data budget accounting): subword-ish token count vs
     whitespace word count, with alpha/numeric/symbol splits. Pure JVM
     (regexp_extract_all + higher-order filter) — no Python."""
-    d = _t(spark, sf, "documents")
+    d = _t_spread(spark, sf, "documents", "doc_id")
     toks = d.select(
         "doc_id",
         F.regexp_extract_all("text", F.lit(_BPE_RE), 0).alias("bt"),
@@ -1303,10 +1315,11 @@ def kg_client_topk(spark: SparkSession, sf: str) -> DataFrame:
         entities_df,
         mentions_df,
     )
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.triples import (
+        extract_and_triples_df,
+    )
 
-    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    tr = extract_and_triples_df(docs_as_pages(spark, sf))
     e = entities_df(mentions_df(tr))
     # inject an exact duplicate (same surface+embedding, different id):
     # the reference's dedup hashes the rounded embedding and keeps one
@@ -1428,12 +1441,15 @@ ORDER BY url
 
 def kg_triples(spark: SparkSession, sf: str) -> DataFrame:
     """Stage 2 on synthesized pages; the known SVO sentence makes the
-    triple set exactly SQL-expressible."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
+    triple set exactly SQL-expressible. Runs the FUSED stage-1+2
+    operator — semantically identical to extract_pages |>
+    extract_triples_df (same pure spec functions) with one Arrow
+    boundary instead of two (guide §4: the intermediate text table
+    never crosses JVM<->Python)."""
+    from clip_retrieval_spark.operators.triples import extract_and_triples_df
 
     return (
-        extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+        extract_and_triples_df(docs_as_pages(spark, sf))
         .select("url", "sent_id", "subj", "pred", "obj")
         .orderBy("url", "sent_id", "subj", "obj")
     )
@@ -1456,11 +1472,12 @@ def kg_mentions(spark: SparkSession, sf: str) -> DataFrame:
     context) is exactly SQL-expressible. mention_id is projected out of
     the compare (xxhash64 has no DuckDB twin); id stability/collision
     behavior is unit-tested instead."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.triples import (
+        extract_and_triples_df,
+    )
     from clip_retrieval_spark.operators.embed import mentions_df
 
-    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    tr = extract_and_triples_df(docs_as_pages(spark, sf))
     return mentions_df(tr).select(
         "url", "sent_id", "role", "surface", "context"
     ).orderBy("url", "role", "surface")
@@ -1497,11 +1514,12 @@ def _kg_stage_tables(spark: SparkSession, sf: str):
     parquet between stages; the eager checkpoint is the gate-local
     stand-in (same pattern as the LPA/k-core edge-set checkpoint,
     operators/graph.py)."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.triples import (
+        extract_and_triples_df,
+    )
     from clip_retrieval_spark.operators.embed import entities_df, mentions_df
 
-    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    tr = extract_and_triples_df(docs_as_pages(spark, sf))
     # one materialization job: mentions carry everything downstream
     # branches need, and the branches past m (distinct surfaces, the
     # 40-entity embed, top-k) are cheap — checkpointing tr/e separately
@@ -1821,7 +1839,7 @@ def near_dedup_documents(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_library_ops.py."""
     from clip_retrieval_spark.operators.dedup import near_dedup_minhash
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     return near_dedup_minhash(
         docs, "doc_id", "text", jaccard_threshold=0.8,
         n_hashes=16, band_rows=1, max_bucket=1 << 20,
@@ -2208,7 +2226,7 @@ def bm25_topterms(spark: SparkSession, sf: str) -> DataFrame:
     document for doc_id < 30. At scale: tf/df/dl are three
     map-side-combinable aggregations; the df join is a vocabulary-sized
     shuffle, never a corpus-sized one."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -2335,7 +2353,7 @@ def quality_repetition(spark: SparkSession, sf: str) -> DataFrame:
     unigram/bigram tops are two map-side-combinable count aggregations,
     bigrams built by an in-row slice zip (no extra pass over the
     corpus)."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     arr = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select(
         "doc_id",
@@ -2437,7 +2455,7 @@ def contamination_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     The n-gram surface is md5-hashed so the overlap join carries
     fixed-width keys, and the benchmark side is the broadcast side at
     scale (the eval set is always tiny next to the corpus)."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     arr = F.filter(F.split("text", " "), lambda x: x != "")
     grams = docs.select(
         "doc_id",
@@ -3116,10 +3134,8 @@ def distinct_sketch_kmv(spark: SparkSession, sf: str) -> DataFrame:
     sketch itself is an algebraic agg at scale (a bounded min-k heap
     merges associatively); the exact count rides along here only to
     report the realized relative error."""
-    docs = _t(spark, sf, "documents").select("doc_id", "source")
     toks = (
-        _doc_tokens(spark, sf)
-        .join(docs, "doc_id")
+        _doc_tokens_src(spark, sf)
         .select("source", "tok")
         .distinct()
     )
@@ -3402,14 +3418,12 @@ def topk_tokens_by_source(spark: SparkSession, sf: str) -> DataFrame:
     sketch — mergeable, bounded memory — exactness is a small-group
     property, not the contract. Ties break lexicographically so both
     engines emit identical rank sets."""
-    docs = _t(spark, sf, "documents").select("doc_id", "source")
     toks = (
-        _t(spark, sf, "documents")
+        _t_spread(spark, sf, "documents", "doc_id")
         .select(
-            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+            "source", F.explode(F.split("text", " ")).alias("tok")
         )
         .filter(F.col("tok") != "")
-        .join(docs, "doc_id")
     )
     counts = toks.groupBy("source", "tok").agg(
         F.count("*").alias("cnt")
@@ -3468,7 +3482,7 @@ def topk_tokens_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     counts = (
-        _t(spark, sf, "documents")
+        _t_spread(spark, sf, "documents", "doc_id")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
@@ -3688,10 +3702,8 @@ def hll_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
     exact count rides along only to report realized error (HLL std
     error at m=32 is ~18.5%; the raw estimator is used, bias/linear-
     counting corrections documented as the production swap-in)."""
-    docs = _t(spark, sf, "documents").select("doc_id", "source")
     toks = (
-        _doc_tokens(spark, sf)
-        .join(docs, "doc_id")
+        _doc_tokens_src(spark, sf)
         .select("source", "tok")
         .distinct()
     )
@@ -3971,14 +3983,13 @@ def dedup_containment_pairs(spark: SparkSession, sf: str) -> DataFrame:
     equi-join with per-token df capped at 256, so worst-case fanout
     per token is a constant; sizes computed after the cap so both
     engines agree exactly."""
-    docs = _t(spark, sf, "documents").select("doc_id", "source")
-    all_toks = _doc_tokens(spark, sf).join(docs, "doc_id")
-    tok_df = all_toks.groupBy("source", "tok").agg(
-        F.count("*").alias("_df")
+    all_toks = _doc_tokens_src(spark, sf)
+    wdf = Window.partitionBy("source", "tok")
+    toks = (
+        all_toks.withColumn("_df", F.count("*").over(wdf))
+        .filter(F.col("_df") <= _JACCARD_DF_CAP)
+        .drop("_df")
     )
-    toks = all_toks.join(
-        tok_df.filter(F.col("_df") <= _JACCARD_DF_CAP), ["source", "tok"]
-    ).drop("_df")
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = toks.select(
         F.col("source"), F.col("doc_id").alias("a"), F.col("tok")
@@ -4141,7 +4152,7 @@ def chunk_strip_docs(spark: SparkSession, sf: str) -> DataFrame:
     struct(pos, chunk))) — the struct sort makes the rebuild
     order-deterministic under any partitioning; per-doc state is
     bounded by document length, never by corpus size."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     n_chunks = F.floor(F.size(toks) / _CHUNK_W).cast("int")
     idx = F.when(
@@ -4248,7 +4259,7 @@ def token_entropy_by_source(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: two chained hash aggs keyed (source, tok) then
     (source); hub tokens fold map-side before the shuffle, so head-token
     skew never concentrates rows."""
-    docs = _t(spark, sf, "documents").select("source", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("source", "text")
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -4309,7 +4320,7 @@ def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
     (source, chunk) surface, so per-key fanout is bounded by the number
     of sources (a constant ~10s-100s), never by chunk popularity inside
     a source; pair counts are algebraic."""
-    docs = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "source", "text")
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     n_chunks = F.floor(F.size(toks) / _CHUNK_W).cast("int")
     idx = F.when(
@@ -4381,7 +4392,7 @@ def pmi_bigrams_topk(spark: SparkSession, sf: str) -> DataFrame:
     co-partition with their join; N is a broadcast scalar; the final
     top-20 is a TakeOrderedAndProject, never a full sort. Ordering is
     on the ROUNDED pmi (then words) so rank 20 cannot flip on a ulp."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     tk = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
     bg = tk.select(
@@ -4556,8 +4567,9 @@ def kg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: each snapshot's aggregation is map-side combinable;
     the merge is one full-outer hash join of two already-aggregated
     edge tables (bucketable by the edge key at cluster scale)."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.triples import (
+        extract_and_triples_df,
+    )
     from clip_retrieval_spark.operators.materialize import (
         merge_weighted_edges,
     )
@@ -4565,7 +4577,7 @@ def kg_incremental_merge(spark: SparkSession, sf: str) -> DataFrame:
     pages = docs_as_pages(spark, sf)
 
     def _edges(p: DataFrame) -> DataFrame:
-        tr = extract_triples_df(extract_pages(p))
+        tr = extract_and_triples_df(p)
         return tr.groupBy("subj", "obj").agg(
             F.count("*").cast("long").alias("weight")
         )
@@ -4598,10 +4610,11 @@ def kg_triple_provenance(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: one hash aggregation keyed by the triple; min/max/
     count-distinct are algebraic (the distinct-host count shuffles
     (triple, host) once); host parsing is a JVM split, no UDF."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.triples import (
+        extract_and_triples_df,
+    )
 
-    tr = extract_triples_df(extract_pages(docs_as_pages(spark, sf)))
+    tr = extract_and_triples_df(docs_as_pages(spark, sf))
     host = F.element_at(F.split("url", "/"), 3)
     return (
         tr.select("subj", "pred", "obj", "url", "warc_ts", host.alias("host"))
@@ -4648,13 +4661,14 @@ def kg_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: identical to the merge — two map-side-combinable
     aggregations meeting in one full-outer hash join keyed by the
     edge, bucketable at cluster scale."""
-    from clip_retrieval_spark.operators.extract import extract_pages
-    from clip_retrieval_spark.operators.triples import extract_triples_df
+    from clip_retrieval_spark.operators.triples import (
+        extract_and_triples_df,
+    )
 
     pages = docs_as_pages(spark, sf)
 
     def _edges(p: DataFrame, w: str) -> DataFrame:
-        tr = extract_triples_df(extract_pages(p))
+        tr = extract_and_triples_df(p)
         return tr.groupBy("subj", "obj").agg(
             F.count("*").cast("long").alias(w)
         )
@@ -4715,7 +4729,7 @@ def kwic_concordance(spark: SparkSession, sf: str) -> DataFrame:
     slicing happens in the same narrow stage and emits plain strings.
     A corpus-frequency hub token costs rows proportional to its true
     occurrence count, never |doc| per document."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     t = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", t.alias("t"))
     poss = F.filter(
@@ -4774,7 +4788,7 @@ def zipf_fit_by_source(spark: SparkSession, sf: str) -> DataFrame:
     regr_slope/r2 decompose into partial sums. One keyed shuffle, rank
     ties broken (count DESC, token ASC) so both engines rank
     identically."""
-    docs = _t(spark, sf, "documents").select("source", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("source", "text")
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -4847,7 +4861,7 @@ def er_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
     missed by design (the standard multi-pass SNM answer is a second
     run with a rotated key); the lead() scan is streaming within each
     block, so a hot prefix costs O(block) memory, not O(block^2)."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     keyed = (
         docs.select(
             "doc_id",
@@ -5136,7 +5150,7 @@ def chunk_windows_rag(spark: SparkSession, sf: str) -> DataFrame:
     (bounded, data-proportional); no shuffle at all in the transform
     (the gate's orderBy is presentation-only). A hub doc costs its own
     token count, nothing global."""
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda t: t != "").alias("toks"),

@@ -222,10 +222,15 @@ def semantic_dedup(
     def _fold_gram(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
         # (r, d) x (c, d) -> (r, c), accumulating over d in order:
         # acc_rc <- acc_rc + a_rk * b_ck for k = 0..d-1, the same
-        # scalar operation order as a sequential fold over dims
+        # scalar operation order as a sequential fold over dims.
+        # The per-dim product writes into one reused buffer (np.outer
+        # would allocate a fresh (r, c) array per dim); each element's
+        # multiply-then-add order is unchanged.
         acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+        tmp = np.empty_like(acc)
         for k in range(a.shape[1]):
-            acc += np.outer(a[:, k], b[:, k])
+            np.multiply(a[:, k, None], b[None, :, k], out=tmp)
+            acc += tmp
         return acc
 
     # Tile-level threads: task parallelism is bounded by the number of

@@ -103,7 +103,10 @@ def q3_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     orders = _t(spark, sf, "orders")
-    li = _t(spark, sf, "lineitem")
+    # spread keyed by l_orderkey: the row-group-bound 6-way scan was
+    # the join/agg parallelism ceiling, and the groupBy(l_orderkey)
+    # reuses this exact partitioning (no second lineitem exchange)
+    li = _t_spread(spark, sf, "lineitem", "l_orderkey")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -803,7 +806,7 @@ def lang_id_stopwords(spark: SparkSession, sf: str) -> DataFrame:
     """n-gram-heuristic language ID: stopword hit counts per language,
     argmax with pinned tie order (score DESC, lang ASC); 'und' when no
     stopword hits."""
-    docs = _t_spread(spark, sf, "documents", "doc_id").select(
+    docs = _t(spark, sf, "documents").select(
         "doc_id", "text"
     )
     toks = docs.select(
@@ -3482,7 +3485,7 @@ def topk_tokens_sketch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     counts = (
-        _t_spread(spark, sf, "documents", "doc_id")
+        _t(spark, sf, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("tok")
@@ -4259,7 +4262,7 @@ def token_entropy_by_source(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: two chained hash aggs keyed (source, tok) then
     (source); hub tokens fold map-side before the shuffle, so head-token
     skew never concentrates rows."""
-    docs = _t_spread(spark, sf, "documents", "doc_id").select("source", "text")
+    docs = _t(spark, sf, "documents").select("source", "text")
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -4392,7 +4395,7 @@ def pmi_bigrams_topk(spark: SparkSession, sf: str) -> DataFrame:
     co-partition with their join; N is a broadcast scalar; the final
     top-20 is a TakeOrderedAndProject, never a full sort. Ordering is
     on the ROUNDED pmi (then words) so rank 20 cannot flip on a ulp."""
-    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
     toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     tk = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
     bg = tk.select(
@@ -4729,7 +4732,7 @@ def kwic_concordance(spark: SparkSession, sf: str) -> DataFrame:
     slicing happens in the same narrow stage and emits plain strings.
     A corpus-frequency hub token costs rows proportional to its true
     occurrence count, never |doc| per document."""
-    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
     t = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", t.alias("t"))
     poss = F.filter(
@@ -4788,7 +4791,7 @@ def zipf_fit_by_source(spark: SparkSession, sf: str) -> DataFrame:
     regr_slope/r2 decompose into partial sums. One keyed shuffle, rank
     ties broken (count DESC, token ASC) so both engines rank
     identically."""
-    docs = _t_spread(spark, sf, "documents", "doc_id").select("source", "text")
+    docs = _t(spark, sf, "documents").select("source", "text")
     toks = docs.select(
         "source", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
@@ -4861,7 +4864,7 @@ def er_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
     missed by design (the standard multi-pass SNM answer is a second
     run with a rotated key); the lead() scan is streaming within each
     block, so a hot prefix costs O(block) memory, not O(block^2)."""
-    docs = _t_spread(spark, sf, "documents", "doc_id").select("doc_id", "text")
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
     keyed = (
         docs.select(
             "doc_id",

@@ -2167,13 +2167,14 @@ def pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     codes = pq_encode(
-        emb.selectExpr("vec_id as cid", "embedding as c_emb"), cb, dim=64
+        emb.selectExpr("vec_id as cid", "embedding as c_emb"), cb, dim=64,
+        m=8,
     )
     q = _t(spark, sf, "embeddings").filter("vec_id < 10").selectExpr(
         "vec_id as qid", "embedding as q_emb"
     )
     return (
-        pq_adc_topk(q, codes, cb, dim=64, k=5, exclude_self=True)
+        pq_adc_topk(q, codes, cb, dim=64, k=5, exclude_self=True, m=8)
         .withColumnRenamed("rank", "rnk")
         .orderBy("qid", "rnk")
     )

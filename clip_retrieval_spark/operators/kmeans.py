@@ -249,7 +249,11 @@ def kmeans_fit(
     array<double>). See the module docstring for the physical plan and
     the determinism contract."""
     spark = points.sparkSession
-    pts = points.select(id_col, vec_col).localCheckpoint(eager=True)
+    # lazy checkpoint: the seeding TakeOrdered is the first action and
+    # scans every partition, so it materializes the pin itself — one
+    # job instead of two (safe here: the driver loop is sequential,
+    # unlike the concurrent-consumer case graph.py pins eagerly)
+    pts = points.select(id_col, vec_col).localCheckpoint(eager=False)
     cells = _fit_codebook(
         pts, k, iterations, id_col, vec_col, round_to
     )
@@ -268,7 +272,11 @@ def kmeans_assign(
     round_to: int = 6,
 ) -> DataFrame:
     """fit + final assignment in one call: (id, cell_id)."""
-    pts = points.select(id_col, vec_col).localCheckpoint(eager=True)
+    # lazy checkpoint: the seeding TakeOrdered is the first action and
+    # scans every partition, so it materializes the pin itself — one
+    # job instead of two (safe here: the driver loop is sequential,
+    # unlike the concurrent-consumer case graph.py pins eagerly)
+    pts = points.select(id_col, vec_col).localCheckpoint(eager=False)
     cells = _fit_codebook(
         pts, k, iterations, id_col, vec_col, round_to
     )

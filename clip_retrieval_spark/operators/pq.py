@@ -126,6 +126,7 @@ def pq_encode(
     id_col: str = "cid",
     vec_col: str = "c_emb",
     round_to: int = 6,
+    m: int | None = None,
 ) -> DataFrame:
     """(id, codes array<int>): per-subspace argmin against the
     broadcast codebook — narrow, corpus never shuffles. A code is the
@@ -133,7 +134,9 @@ def pq_encode(
     (0-based), not the raw cell id — k-means may drop empty cells, and
     positional codes keep the ADC LUT lookup valid regardless (for a
     dense codebook position == cell id)."""
-    m = codebooks.select("sub").distinct().count()
+    if m is None:
+        # callers that know their PQ geometry pass m and skip this job
+        m = codebooks.select("sub").distinct().count()
     d_sub = dim // m
     cb = _codebook_row(codebooks)
 
@@ -183,13 +186,15 @@ def pq_adc_topk(
     c_id: str = "cid",
     exclude_self: bool = False,
     round_to: int = 6,
+    m: int | None = None,
 ) -> DataFrame:
     """ADC top-k: (qid, cid, score, rank), score = sum over subspaces
     of dot(q_sub, centroid[code]) — the inner-product ADC form (exact
     for the quantized corpus vector). LUTs are built per query against
     the broadcast codebook, then the scan over codes is M lookups +
     adds per row."""
-    m = codebooks.select("sub").distinct().count()
+    if m is None:
+        m = codebooks.select("sub").distinct().count()
     d_sub = dim // m
     cb = _codebook_row(codebooks)
     # per-query LUT: array over subs of array over cells (cell order)

@@ -1528,7 +1528,12 @@ def _kg_stage_tables(spark: SparkSession, sf: str):
     # 40-entity embed, top-k) are cheap — checkpointing tr/e separately
     # just serializes extra jobs for no saved work
     m = mentions_df(tr).localCheckpoint(eager=True)
-    e = entities_df(m)
+    # e is tiny (one row per distinct surface) but its lineage is a
+    # distinct-exchange + Python embed over ALL mentions, and the
+    # stage-3/4 gates fan it into several branches (entity side of the
+    # LSH join — consumed twice by lsh_explode — plus the surface
+    # projection): pin it once
+    e = entities_df(m).localCheckpoint(eager=True)
     return tr, m, e
 
 

@@ -64,7 +64,12 @@ def surface_link_topk(
     """
     from clip_retrieval_spark.operators.embed import surface_embeddings
 
-    surfaces = surface_embeddings(mentions)
+    # Pin the distinct-surface table: lsh_explode consumes its input
+    # twice (band table + join back), and without the pin the whole
+    # distinct-over-mentions + Python-embed subtree re-executes per
+    # consumer. Small under Zipf by this operator's contract (the
+    # reference caches encodings the same way, clip_back.py:671).
+    surfaces = surface_embeddings(mentions).localCheckpoint(eager=True)
     if blocking == "exact":
         e0 = entities.select(
             "entity_id",

@@ -53,6 +53,9 @@ def main() -> None:
     args = ap.parse_args()
 
     con = duckdb.connect()
+    # a runaway oracle (quadratic SQL at a big sf) must error cleanly,
+    # not fill the disk and kill the whole sweep
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
@@ -67,19 +70,25 @@ def main() -> None:
     names = [q.strip() for q in args.queries.split(",") if q.strip()]
     failed = []
     for name in names:
-        sdf = queries[name](spark, args.sf_dir)
-        s_cols = [c.lower() for c in sdf.columns]
-        s_rows = [tuple(r) for r in sdf.collect()]
-        res = con.execute(oracles[name])
-        d_cols = [c[0].lower() for c in res.description]
-        d_rows = res.fetchall()
+        try:
+            sdf = queries[name](spark, args.sf_dir)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(oracles[name])
+            d_cols = [c[0].lower() for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:  # oracle OOM/temp-cap etc. — keep going
+            print(f"{name}: ERR {type(exc).__name__}: {exc}", flush=True)
+            failed.append(name)
+            continue
         ok = (
             sorted(s_cols) == sorted(d_cols)
             and len(s_rows) == len(d_rows)
             and _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows)
         )
         print(f"{name}: {'OK' if ok else 'MISMATCH'} "
-              f"(spark {len(s_rows)} rows, duckdb {len(d_rows)})")
+              f"(spark {len(s_rows)} rows, duckdb {len(d_rows)})",
+              flush=True)
         if not ok:
             failed.append(name)
     spark.stop()

@@ -5586,7 +5586,7 @@ driver-green row are listed first; long-stable gates (green in r1-r4
 drivers, still covered at two scales by tests/test_entry.py) rotate to
 the back where only pytest covers them. Keep any newly-added gate
 within the first 50 until it has a green driver row."""
-QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
+_QUERIES_DECL: dict[str, tuple[Callable, Optional[str]]] = {
     # --- never driver-checked before r5 (rotated to the front) ---
     "pq_adc_search": (pq_adc_search, PQ_ADC_SQL),
     "contamination_ngrams": (contamination_ngrams, CONTAMINATION_SQL),
@@ -5719,4 +5719,35 @@ QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
     "base64_roundtrip_docs": (base64_roundtrip_docs, BASE64_SQL),
     "aesthetic_rerank": (aesthetic_rerank, AESTHETIC_RERANK_SQL),
     "label_centroid_norms": (label_centroid_norms, LABEL_CENTROID_SQL),
+}
+
+# Driver-evidence rotation (round-5 verdict item 4): the correctness
+# harness snapshots the FIRST 50 declared queries, so the gates whose
+# last driver-green row is two rounds old (checked in r4, rotated out
+# of r5's window) move to the front for r6. Pure reorder — every
+# query's function and oracle SQL are untouched; bench.py selects by
+# NAME, so timings are unaffected. The r5-window gates keep coverage
+# via tests/test_entry.py's byte-identical oracle mirror.
+_R6_FRONT = [
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_jaccard_pairs", "lang_id_stopwords", "quality_scores",
+    "token_stats", "doc_fingerprints", "ann_topk_bruteforce",
+    "safety_filter_counts", "kg_client_topk", "embedding_neardup_pairs",
+    "skew_salted_agg", "skew_salted_join", "ann_lsh_bucketed",
+    "near_dedup_documents", "kg_mentions", "kg_links",
+    "kg_links_rank1", "kg_nodes_edges", "bpe_token_counts",
+    "events_asof_join", "kg_degree_stats", "kg_pagerank3",
+    "ann_ivf_topk", "kmeans_assign2", "bm25_topterms",
+    "doc_triangle_counts", "quality_repetition", "q1_pricing_summary",
+    "q3_top_revenue_orders", "q5_nation_revenue", "filter_project_parts",
+    "sort_topn_lineitems", "window_top3_orders", "semi_join_customers",
+    "anti_join_customers", "distinct_agg_orders", "set_ops_segments",
+    "string_functions_parts", "events_json_extract", "events_hourly_rollup",
+    "events_sessionize", "events_latest_per_user", "events_from_json_schema",
+    "base64_roundtrip_docs", "aesthetic_rerank", "label_centroid_norms",
+]
+
+QUERIES: dict[str, tuple[Callable, Optional[str]]] = {
+    **{name: _QUERIES_DECL[name] for name in _R6_FRONT},
+    **{k: v for k, v in _QUERIES_DECL.items() if k not in set(_R6_FRONT)},
 }
